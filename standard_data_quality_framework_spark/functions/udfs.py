@@ -1,0 +1,85 @@
+"""Vectorized pandas/Arrow UDFs — the ONLY Python that runs on executors.
+
+Exactly four Python stages exist in the whole pipeline (everything else
+is native Catalyst expressions):
+
+  1. ``extract_text(html: binary) -> string``   (byte-identical contract)
+  2. ``model_signals(text) -> struct``          (langid + perplexity +
+     repetition signals in ONE Arrow pass — one Python worker round-trip
+     per batch instead of three)
+  3. ``scrub(text) -> struct<scrubbed, edits>`` (byte-identical contract)
+
+Model artifacts (langid log-prob matrix ~1 MB, bigram LM ~1 MB) are
+broadcast once per session and lazily referenced inside the UDF closure
+— the classic broadcast-variable pattern, no per-task re-pickling.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..models.langid import train_langid
+from ..models.perplexity import train_perplexity
+from .textpure import extract_text, repetition_signals, scrub
+
+_MODEL_SIGNALS_SCHEMA = T.StructType([
+    T.StructField("lang_pred", T.StringType()),
+    T.StructField("lang_conf", T.DoubleType()),
+    T.StructField("perplexity", T.DoubleType()),
+    T.StructField("dup_line_frac", T.DoubleType()),
+    T.StructField("top2gram_frac", T.DoubleType()),
+    T.StructField("dup5gram_frac", T.DoubleType()),
+])
+
+_SCRUB_SCHEMA = T.StructType([
+    T.StructField("scrubbed_text", T.StringType()),
+    T.StructField("scrub_edits", T.IntegerType()),
+])
+
+
+def make_udfs(spark: SparkSession) -> dict:
+    """Build the UDF trio with models broadcast to executors."""
+    sc = spark.sparkContext
+    b_lid = sc.broadcast(train_langid())
+    b_ppl = sc.broadcast(train_perplexity())
+
+    @F.pandas_udf(T.StringType())
+    def extract_text_udf(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: extract_text(b) if b is not None else "")
+
+    @F.pandas_udf(_MODEL_SIGNALS_SCHEMA)
+    def model_signals_udf(text: pd.Series) -> pd.DataFrame:
+        lid = b_lid.value
+        lm = b_ppl.value
+        langs, confs, ppls, d1, d2, d3 = [], [], [], [], [], []
+        for t in text:
+            t = t if isinstance(t, str) else ""
+            lang, conf = lid.predict_one(t)
+            langs.append(lang)
+            confs.append(conf)
+            ppls.append(lm.perplexity(t))
+            a, b, c = repetition_signals(t)
+            d1.append(a)
+            d2.append(b)
+            d3.append(c)
+        return pd.DataFrame({
+            "lang_pred": langs, "lang_conf": confs, "perplexity": ppls,
+            "dup_line_frac": d1, "top2gram_frac": d2, "dup5gram_frac": d3,
+        })
+
+    @F.pandas_udf(_SCRUB_SCHEMA)
+    def scrub_udf(text: pd.Series) -> pd.DataFrame:
+        pairs = [scrub(t if isinstance(t, str) else "") for t in text]
+        return pd.DataFrame({
+            "scrubbed_text": [p[0] for p in pairs],
+            "scrub_edits": pd.array([p[1] for p in pairs], dtype="int32"),
+        })
+
+    return {
+        "extract_text": extract_text_udf,
+        "model_signals": model_signals_udf,
+        "scrub": scrub_udf,
+    }

@@ -1,0 +1,235 @@
+"""The end-to-end quality-filter pipeline: one declarative DataFrame DAG.
+
+    pages ─ extract ─ signals ─ verdict ─ scrub ─┬─ kept pages sink
+                                                 └─ metrics sink
+
+Design notes (scale-first):
+  * ONE pass: every per-document signal is computed in a single
+    ``select`` — Catalyst fuses the projections into one whole-stage-
+    codegen span plus exactly one Arrow round-trip for the two pandas
+    UDF stages. (The reference re-scans the dataset once per check —
+    /root/reference/src/quality_checks.py:360-380 — we do not.)
+  * The only shuffle before the sinks is the exact-duplicate window
+    (hash-partition by md5(text)); content hashes are uniform so no
+    skew handling is needed there. Per-domain aggregations (skewed!)
+    go through ``salted_domain_counts``.
+  * Native expressions everywhere except the four documented UDFs
+    (functions/udfs.py). No row-at-a-time Python, no collect().
+
+Heuristic semantics recast the reference's checks per SURVEY.md §0;
+rule ids and thresholds live in config.RULES / config.RULE_ORDER.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import (ALL_STOPWORDS, N_URL_BUCKETS, RULES, SALT_BUCKETS)
+from .functions.udfs import make_udfs
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: extract
+# ---------------------------------------------------------------------------
+
+def with_extracted_text(df: DataFrame, udfs: dict) -> DataFrame:
+    """etext = extract_text(html) when html present, else raw text.
+
+    The byte-identical per-url contract binds ``etext``: both this UDF
+    and the reference labeler call textpure.extract_text.
+    """
+    return df.withColumn(
+        "etext",
+        F.when(F.col("html").isNotNull(),
+               udfs["extract_text"](F.col("html")))
+        .otherwise(F.coalesce(F.col("text"), F.lit(""))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: signals (native + one UDF struct)
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"
+_SYM = r"#|\.\.\."
+_NONALNUM = r"[^A-Za-z0-9 \t\n\x0B\f\r]"
+
+
+def with_native_signals(df: DataFrame, text_col: str = "etext") -> DataFrame:
+    """All heuristic signals expressible as Catalyst expressions.
+
+    Mirrored exactly by textpure.native_signals (parity-tested).
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    toks = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, _WS))
+    df = df.withColumn("_toks", toks)
+    n_words = F.size("_toks")
+    tok_chars = F.length(F.regexp_replace(t, _WS, ""))
+    stops = F.filter(
+        F.transform(F.col("_toks"), lambda x: F.lower(x)),
+        lambda x: x.isin(*ALL_STOPWORDS),
+    )
+    df = (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars", F.length(t))
+        .withColumn(
+            "mean_word_len",
+            F.when(n_words > 0, tok_chars / n_words).otherwise(F.lit(0.0)))
+        .withColumn(
+            "symbol_to_word",
+            F.when(n_words > 0,
+                   F.regexp_count(t, F.lit(_SYM)) / n_words)
+            .otherwise(F.lit(0.0)))
+        .withColumn("_stops", stops)
+        .withColumn(
+            "stopword_frac",
+            F.when(n_words > 0, F.size("_stops") / n_words)
+            .otherwise(F.lit(0.0)))
+        .withColumn("distinct_stopwords",
+                    F.size(F.array_distinct("_stops")))
+        .withColumn(
+            "nonalnum_frac",
+            F.when(F.length(t) > 0,
+                   F.regexp_count(t, F.lit(_NONALNUM)) / F.length(t))
+            .otherwise(F.lit(0.0)))
+        .drop("_toks", "_stops")
+    )
+    return df
+
+
+def with_model_signals(df: DataFrame, udfs: dict,
+                       text_col: str = "etext") -> DataFrame:
+    """langid + perplexity + repetition — ONE Arrow round-trip."""
+    df = df.withColumn("_ms", udfs["model_signals"](F.col(text_col)))
+    for f in ("lang_pred", "lang_conf", "perplexity",
+              "dup_line_frac", "top2gram_frac", "dup5gram_frac"):
+        df = df.withColumn(f, F.col(f"_ms.{f}"))
+    return df.drop("_ms")
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: verdict
+# ---------------------------------------------------------------------------
+
+def with_verdict(df: DataFrame) -> DataFrame:
+    """drop_reasons array (in RULE_ORDER) + keep flag.
+
+    Per-document rules are pure column expressions; the cross-document
+    exact-dup rule is a row_number window over the content hash —
+    first occurrence (by url) survives, duplicates get 'exact_dup'.
+    """
+    R = RULES
+    per_doc = [
+        ("empty_text", F.col("n_words") == 0),
+        ("min_words", (F.col("n_words") > 0)
+         & (F.col("n_words") < R["min_words"])),
+        ("max_words", F.col("n_words") > R["max_words"]),
+        ("mean_word_len", (F.col("n_words") > 0) & (
+            (F.col("mean_word_len") < R["min_mean_word_len"])
+            | (F.col("mean_word_len") > R["max_mean_word_len"]))),
+        ("symbol_to_word", F.col("symbol_to_word") > R["max_symbol_to_word"]),
+        ("stopword_frac", (F.col("n_words") > 0) & (
+            (F.col("stopword_frac") < R["min_stopword_frac"])
+            | (F.col("distinct_stopwords") < R["min_distinct_stopwords"]))),
+        ("nonalnum_frac", F.col("nonalnum_frac") > R["max_nonalnum_frac"]),
+        ("dup_line_frac", F.col("dup_line_frac") > R["max_dup_line_frac"]),
+        ("top2gram_frac", F.col("top2gram_frac") > R["max_top2gram_frac"]),
+        ("dup5gram_frac", F.col("dup5gram_frac") > R["max_dup5gram_frac"]),
+        ("langid_conf", F.col("lang_conf") < R["min_langid_conf"]),
+        ("lang_mismatch", F.col("lang").isNotNull()
+         & (F.col("lang_pred") != F.col("lang"))),
+        ("perplexity", F.col("perplexity") > R["max_perplexity"]),
+    ]
+    reasons = F.array_compact(F.array(
+        *[F.when(cond, F.lit(rid)).otherwise(F.lit(None))
+          for rid, cond in per_doc]))
+    df = df.withColumn("_reasons_pd", reasons)
+
+    w = Window.partitionBy(F.md5(F.col("etext"))).orderBy("url")
+    df = df.withColumn("_dup_rank", F.row_number().over(w))
+    df = df.withColumn(
+        "drop_reasons",
+        F.when(F.col("_dup_rank") > 1,
+               F.concat(F.col("_reasons_pd"),
+                        F.array(F.lit("exact_dup"))))
+        .otherwise(F.col("_reasons_pd")),
+    ).drop("_reasons_pd", "_dup_rank")
+    return df.withColumn("keep", F.size("drop_reasons") == 0)
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: scrub
+# ---------------------------------------------------------------------------
+
+def with_scrub(df: DataFrame, udfs: dict) -> DataFrame:
+    df = df.withColumn("_sc", udfs["scrub"](F.col("etext")))
+    return (df.withColumn("scrubbed_text", F.col("_sc.scrubbed_text"))
+              .withColumn("scrub_edits", F.col("_sc.scrub_edits"))
+              .drop("_sc"))
+
+
+# ---------------------------------------------------------------------------
+# Partitioning / skew helpers
+# ---------------------------------------------------------------------------
+
+def with_partition_cols(df: DataFrame) -> DataFrame:
+    """Iceberg-style partition transform columns: days(warc_ts) +
+    bucket(N, url). Written as physical partition columns by the sink."""
+    return (df.withColumn("warc_date", F.to_date("warc_ts"))
+              .withColumn("url_bucket",
+                          F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS))
+                          .cast("int")))
+
+
+def salted_domain_counts(df: DataFrame) -> DataFrame:
+    """Per-domain doc counts with two-phase salted aggregation.
+
+    Web domains are Zipf-skewed: a handful of domains hold a large
+    share of pages, so a naive groupBy(domain) funnels them into few
+    reducers. Phase 1 aggregates on (domain, salt) — SALT_BUCKETS-way
+    fan-out of the hot keys; phase 2 combines the partials. Both
+    phases get map-side partial aggregation from Spark for free.
+    """
+    domain = F.parse_url(F.col("url"), F.lit("HOST"))
+    salted = (
+        df.select(domain.alias("domain"),
+                  F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
+                  .alias("_salt"))
+        .groupBy("domain", "_salt").agg(F.count("*").alias("_partial"))
+    )
+    return (salted.groupBy("domain")
+            .agg(F.sum("_partial").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PipelineOutput:
+    verdicts: DataFrame  # full per-doc frame (signals + verdict + scrub)
+    kept: DataFrame      # filtered pages in input schema (text=scrubbed)
+
+
+def run_quality_filter(spark: SparkSession, pages: DataFrame,
+                       udfs: dict | None = None) -> PipelineOutput:
+    """Build the full lazy DAG. No actions are triggered here."""
+    udfs = udfs or make_udfs(spark)
+    df = with_extracted_text(pages, udfs)
+    df = with_native_signals(df)
+    df = with_model_signals(df, udfs)
+    df = with_verdict(df)
+    df = with_scrub(df, udfs)
+    df = with_partition_cols(df)
+
+    kept = (df.filter(F.col("keep"))
+            .select("url", "warc_ts", "html",
+                    F.col("scrubbed_text").alias("text"),
+                    F.col("lang_pred").alias("lang"),
+                    "warc_date", "url_bucket"))
+    return PipelineOutput(verdicts=df, kept=kept)
