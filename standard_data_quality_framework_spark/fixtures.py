@@ -91,7 +91,9 @@ def make_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
     """Build the pages table as a pandas DataFrame (parquet-ready)."""
     rng = random.Random(seed)
     rows = []
-    clean_texts: list[str] = []  # pool for exact_dup class
+    # pool for exact_dup class: (text, warc_ts) — duplicates are
+    # same-day mirrors (the pipeline's exact-dup scope is the crawl day)
+    clean_texts: list[tuple[str, dt.datetime]] = []
     for i in range(n):
         lang = rng.choices(LANGS, weights=[55, 15, 15, 15])[0]
         claimed = lang
@@ -123,8 +125,8 @@ def make_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
         elif u < 0.17:  # repetitive
             line = gen_sentence(lang, rng, min_w=8, max_w=12)
             paras = [line] * rng.randint(6, 12)
-        elif u < 0.22 and clean_texts:  # exact_dup
-            text = rng.choice(clean_texts)
+        elif u < 0.22 and clean_texts:  # exact_dup (same-day mirror)
+            text, ts = rng.choice(clean_texts)
             paras = text.split("\n\n")
         elif u < 0.25:  # gibberish
             paras = [gibberish_sentence(rng, n=rng.randint(20, 40))
@@ -139,9 +141,9 @@ def make_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
 
         text = "\n\n".join(paras)
         if 0.17 <= u < 0.22 and clean_texts:
-            pass  # exact_dup: keep copied text verbatim
+            pass  # exact_dup: keep copied text + same-day ts verbatim
         elif u >= 0.25:
-            clean_texts.append(text)
+            clean_texts.append((text, ts))
 
         html = _paragraphs_to_html(paras)
         if u >= 0.25 and rng.random() < 0.02:  # bad_html overlay

@@ -1,0 +1,145 @@
+"""Per-stage quality-dimension metrics — the reference's dataset-level
+scores recast as an aggregation query over the verdicts frame.
+
+Reference parity:
+  * the seven dimensions of /root/reference/src/quality_checks.py:360-380
+  * score→rating bucketing of /root/reference/src/rating.py:4-27
+  * overall = mean of per-dimension ratings (/root/reference/src/rating.py:49-54)
+
+Formulas (per partition group, default per warc_date):
+  completeness      = non-missing cells / total cells over
+                      (url, warc_ts, text, lang)        [A7]
+  accuracy          = docs passing all range rules / docs [A8]
+  coherence         = docs whose text decodes/parses cleanly / docs [A9]
+  semantic_coherence= 1 − exact-dup docs / docs          [A12]
+  relational_cons.  = distinct urls / docs               [A10]
+  pop_representativity = 1 − Σ_c |p_c − 1/k| / (2(1−1/k)) over lang_pred [A3]
+  metadata_granularity = docs with (url, warc_ts, lang) all present / docs [A16]
+
+Everything is ONE hash aggregation per group (+ one small groupBy for
+representativity) — map-side partial aggregation applies, no skew
+(dates are the partition key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import DIMENSIONS
+from .functions.rating import bucket_rating
+
+_RANGE_RULES = ["min_words", "max_words", "mean_word_len",
+                "symbol_to_word", "nonalnum_frac", "perplexity"]
+
+
+def _flag(c) -> F.Column:
+    return F.when(c, 1).otherwise(0)
+
+
+def dimension_metrics(verdicts: DataFrame,
+                      group_col: str = "warc_date") -> DataFrame:
+    """Long-format metrics: one row per (group, dimension) + overall.
+
+    Output: (partition_key string, dimension string, score double,
+             rating int, docs_scanned long, docs_dropped long,
+             scrub_edit_count long)
+    """
+    g = F.col(group_col).cast("string").alias("partition_key")
+    present = [
+        F.col("url").isNotNull(),
+        F.col("warc_ts").isNotNull(),
+        F.col("etext").isNotNull() & (F.length("etext") > 0),
+        F.col("lang").isNotNull() & (F.length("lang") > 0),
+    ]
+    base = verdicts.groupBy(g).agg(
+        F.count("*").alias("docs_scanned"),
+        F.sum(_flag(~F.col("keep"))).alias("docs_dropped"),
+        F.sum(F.col("scrub_edits").cast("long")).alias("scrub_edit_count"),
+        (F.sum(sum(_flag(p) for p in present))
+         / (F.count("*") * len(present))).alias("completeness"),
+        (F.sum(_flag(~F.arrays_overlap(
+            "drop_reasons",
+            F.array(*[F.lit(r) for r in _RANGE_RULES]))))
+         / F.count("*")).alias("accuracy"),
+        (F.sum(_flag((F.length("etext") > 0)
+                     & ~F.col("etext").contains("�")))
+         / F.count("*")).alias("coherence"),
+        (F.lit(1.0) - F.sum(_flag(F.array_contains(
+            "drop_reasons", "exact_dup"))) / F.count("*"))
+        .alias("semantic_coherence"),
+        (F.count_distinct("url") / F.count("*"))
+        .alias("relational_consistency"),
+        (F.sum(_flag(F.col("url").isNotNull()
+                     & F.col("warc_ts").isNotNull()
+                     & F.col("lang").isNotNull()
+                     & (F.length("lang") > 0))) / F.count("*"))
+        .alias("metadata_granularity"),
+    )
+
+    # population representativity (A3, total-deviation) over lang_pred
+    counts = (verdicts.groupBy(g, "lang_pred")
+              .agg(F.count("*").alias("n")))
+    rep = counts.groupBy("partition_key").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("total"),
+    )
+    dev = (counts
+           .join(rep.select("partition_key", "k", "total"), "partition_key")
+           .groupBy("partition_key", "k")
+           .agg(F.sum(F.abs(F.col("n") / F.col("total")
+                            - 1.0 / F.col("k"))).alias("total_dev")))
+    rep_score = dev.select(
+        "partition_key",
+        F.when(F.col("k") <= 1, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.col("total_dev")
+            / (2.0 * (1.0 - 1.0 / F.col("k"))))
+        .alias("population_representativity"))
+
+    wide = base.join(rep_score, "partition_key", "left")
+
+    rows = []
+    for dim in DIMENSIONS:
+        rows.append(wide.select(
+            "partition_key", F.lit(dim).alias("dimension"),
+            F.col(dim).cast("double").alias("score"),
+            bucket_rating(F.col(dim)).alias("rating"),
+            "docs_scanned", "docs_dropped", "scrub_edit_count"))
+    long = rows[0]
+    for r in rows[1:]:
+        long = long.unionByName(r)
+
+    overall = (long.groupBy("partition_key")
+               .agg(F.avg("score").alias("score"),
+                    F.avg(F.col("rating").cast("double")).alias("_avg_r"),
+                    F.first("docs_scanned").alias("docs_scanned"),
+                    F.first("docs_dropped").alias("docs_dropped"),
+                    F.first("scrub_edit_count").alias("scrub_edit_count"))
+               .select("partition_key", F.lit("overall").alias("dimension"),
+                       "score",
+                       F.round("_avg_r").cast("int").alias("rating"),
+                       "docs_scanned", "docs_dropped", "scrub_edit_count"))
+    return long.unionByName(overall)
+
+
+def dropped_by_rule(verdicts: DataFrame,
+                    group_col: str = "warc_date") -> DataFrame:
+    """(partition_key, rule, n_dropped) — per-rule drop counts."""
+    return (verdicts
+            .select(F.col(group_col).cast("string").alias("partition_key"),
+                    F.explode("drop_reasons").alias("rule"))
+            .groupBy("partition_key", "rule")
+            .agg(F.count("*").alias("n_dropped")))
+
+
+def lineage_rows(verdicts: DataFrame, run_id: str, stage: str,
+                 group_col: str = "warc_date") -> DataFrame:
+    """Per-partition lineage bookkeeping for checkpoint/resume."""
+    return (verdicts.groupBy(
+        F.col(group_col).cast("string").alias("partition_key"))
+        .agg(F.count("*").alias("rows_in"),
+             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("rows_out"))
+        .select(F.lit(run_id).alias("run_id"), F.lit(stage).alias("stage"),
+                "partition_key", F.lit("done").alias("status"),
+                "rows_in", "rows_out",
+                F.current_timestamp().alias("finished_ts")))

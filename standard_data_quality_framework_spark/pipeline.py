@@ -120,8 +120,13 @@ def with_verdict(df: DataFrame) -> DataFrame:
     """drop_reasons array (in RULE_ORDER) + keep flag.
 
     Per-document rules are pure column expressions; the cross-document
-    exact-dup rule is a row_number window over the content hash —
-    first occurrence (by url) survives, duplicates get 'exact_dup'.
+    exact-dup rule is a row_number window over (crawl day, content
+    hash) — first occurrence (by url) within the day survives,
+    duplicates get 'exact_dup'. Scoping dedup to the crawl day keeps
+    the verdict deterministic under ANY batching of whole days (the
+    checkpoint/resume unit) and keeps the dedup shuffle partition-
+    local at 10^12-doc scale; cross-day dedup is a separate offline
+    operator (operators/dedup.py).
     """
     R = RULES
     per_doc = [
@@ -150,7 +155,8 @@ def with_verdict(df: DataFrame) -> DataFrame:
           for rid, cond in per_doc]))
     df = df.withColumn("_reasons_pd", reasons)
 
-    w = Window.partitionBy(F.md5(F.col("etext"))).orderBy("url")
+    w = Window.partitionBy(
+        F.to_date(F.col("warc_ts")), F.md5(F.col("etext"))).orderBy("url")
     df = df.withColumn("_dup_rank", F.row_number().over(w))
     df = df.withColumn(
         "drop_reasons",

@@ -1,0 +1,92 @@
+"""Checkpoint-resumable job runner.
+
+One "run" = quality-filter the pages table into the warehouse:
+
+  tables written:
+    pages_filtered   (partitioned by warc_date)  — dynamic overwrite
+    metrics          (append, per warc_date × dimension rows)
+    dropped_by_rule  (append)
+    lineage          (append, one row per warc_date; commit LAST)
+
+Resume contract: lineage is committed only after the data/metrics
+writes for the covered partitions succeed, and the data write is an
+idempotent dynamic-partition overwrite. On restart we anti-join the
+input's warc_dates against completed lineage rows for this stage and
+re-process only the remainder — a crashed run redoes at most the
+partitions whose lineage had not committed, and redoing them is safe.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .metrics import dimension_metrics, dropped_by_rule, lineage_rows
+from .pipeline import run_quality_filter, with_partition_cols
+from .sources.catalog import ParquetCatalog
+
+STAGE = "quality_filter"
+
+
+def pending_dates(catalog: ParquetCatalog, pages: DataFrame) -> DataFrame:
+    """Distinct input warc_dates minus already-completed lineage rows."""
+    all_dates = (with_partition_cols(pages.select("warc_ts", "url"))
+                 .select("warc_date").distinct())
+    if not catalog.exists("lineage"):
+        return all_dates
+    done = (catalog.read("lineage")
+            .filter((F.col("stage") == STAGE)
+                    & (F.col("status") == "done"))
+            .select(F.col("partition_key").cast("date").alias("warc_date"))
+            .distinct())
+    return all_dates.join(done, "warc_date", "left_anti")
+
+
+def run(spark: SparkSession, pages: DataFrame, warehouse: str,
+        run_id: str | None = None) -> dict:
+    """Execute (or resume) the quality-filter run. Returns summary."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    catalog = ParquetCatalog(spark, warehouse)
+
+    todo = pending_dates(catalog, pages)
+    n_dates = todo.count()
+    if n_dates == 0:
+        return {"run_id": run_id, "dates_processed": 0, "resumed": True}
+
+    # restrict input to pending partitions (broadcast the small date set
+    # — partition pruning at the scan on a real Iceberg table)
+    pages_todo = (with_partition_cols(pages)
+                  .join(F.broadcast(todo), "warc_date", "left_semi")
+                  .drop("warc_date", "url_bucket"))
+
+    out = run_quality_filter(spark, pages_todo)
+    # one materialization of the verdict frame feeds all four sinks
+    verdicts = out.verdicts.persist()
+    try:
+        kept = (verdicts.filter(F.col("keep"))
+                .select("url", "warc_ts", "html",
+                        F.col("scrubbed_text").alias("text"),
+                        F.col("lang_pred").alias("lang"),
+                        "warc_date", "url_bucket"))
+        catalog.overwrite_partitions(kept, "pages_filtered", ["warc_date"])
+
+        mets = dimension_metrics(verdicts).withColumn(
+            "run_id", F.lit(run_id)).withColumn("stage", F.lit(STAGE))
+        catalog.append(mets, "metrics")
+
+        dbr = dropped_by_rule(verdicts).withColumn(
+            "run_id", F.lit(run_id)).withColumn("stage", F.lit(STAGE))
+        catalog.append(dbr, "dropped_by_rule")
+
+        # lineage commit LAST — the resume barrier
+        lin = lineage_rows(verdicts, run_id, STAGE)
+        catalog.append(lin, "lineage")
+
+        n_in = verdicts.count()
+        n_kept = kept.count()
+    finally:
+        verdicts.unpersist()
+    return {"run_id": run_id, "dates_processed": n_dates,
+            "rows_in": n_in, "rows_kept": n_kept, "resumed": False}

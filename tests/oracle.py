@@ -90,9 +90,12 @@ def label_pages(pages: pd.DataFrame) -> pd.DataFrame:
             "scrub_edits": edits,
         })
     out = pd.DataFrame(rows)
-    # cross-document exact-dup: first occurrence by url per etext wins
-    first_url = out.groupby("etext")["url"].transform("min")
+    # cross-document exact-dup, scoped to the crawl day: first
+    # occurrence by url per (warc_date, etext) wins
+    out["_day"] = pd.to_datetime(pages["warc_ts"].values, utc=True).date
+    first_url = out.groupby(["_day", "etext"])["url"].transform("min")
     is_dup = out["url"] != first_url
+    out = out.drop(columns=["_day"])
     out["drop_reasons"] = [
         rs + (["exact_dup"] if d else [])
         for rs, d in zip(out["reasons"], is_dup)

@@ -1,0 +1,80 @@
+"""Runner checkpoint/resume + metrics-table semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from standard_data_quality_framework_spark.config import DIMENSIONS
+from standard_data_quality_framework_spark.metrics import dimension_metrics
+from standard_data_quality_framework_spark.pipeline import run_quality_filter
+from standard_data_quality_framework_spark.runner import run
+
+
+def test_resume_processes_only_pending_dates(spark, pages_df, tmp_path):
+    wh = str(tmp_path / "wh")
+    dates = [r[0] for r in pages_df.select(
+        F.to_date("warc_ts").alias("d")).distinct().orderBy("d").collect()]
+    cut = dates[len(dates) // 2]
+
+    first = pages_df.filter(F.to_date("warc_ts") <= F.lit(cut))
+    r1 = run(spark, first, wh, run_id="r1")
+    assert r1["dates_processed"] > 0
+
+    r2 = run(spark, pages_df, wh, run_id="r2")
+    assert r2["dates_processed"] == len(dates) - r1["dates_processed"]
+
+    # a third run is a no-op resume
+    r3 = run(spark, pages_df, wh, run_id="r3")
+    assert r3["resumed"] and r3["dates_processed"] == 0
+
+    # final table == single-shot run output
+    wh2 = str(tmp_path / "wh2")
+    run(spark, pages_df, wh2, run_id="solo")
+    a = spark.read.parquet(f"{wh}/pages_filtered").select(
+        "url", "text", "lang").toPandas().sort_values("url")
+    b = spark.read.parquet(f"{wh2}/pages_filtered").select(
+        "url", "text", "lang").toPandas().sort_values("url")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    # lineage covers every date exactly once per stage
+    lin = spark.read.parquet(f"{wh}/lineage").toPandas()
+    assert sorted(lin["partition_key"].unique()) == [str(d) for d in dates]
+    assert (lin.groupby("partition_key").size() == 1).all()
+
+
+def test_metrics_dimensions_and_ratings(spark, pages_df):
+    out = run_quality_filter(spark, pages_df)
+    verdicts = out.verdicts.withColumn("warc_date", F.to_date("warc_ts"))
+    mets = dimension_metrics(verdicts, "warc_date").toPandas()
+
+    assert set(mets["dimension"]) == set(DIMENSIONS) | {"overall"}
+    assert ((mets["score"] >= 0) & (mets["score"] <= 1.0001)).all()
+    assert mets["rating"].between(1, 5).all()
+
+
+def test_metrics_semantic_coherence_oracle(spark, pages_df, pages_pdf,
+                                           golden):
+    out = run_quality_filter(spark, pages_df)
+    verdicts = out.verdicts.withColumn("warc_date", F.to_date("warc_ts"))
+    mets = dimension_metrics(verdicts, "warc_date").toPandas()
+
+    g = golden.merge(
+        pages_pdf[["url", "warc_ts"]], on="url", how="left")
+    g["partition_key"] = g["warc_ts"].dt.date.astype(str)
+    g["is_dup"] = g["drop_reasons"].map(lambda rs: "exact_dup" in rs)
+    exp = (1.0 - g.groupby("partition_key")["is_dup"].mean())
+
+    got = (mets[mets["dimension"] == "semantic_coherence"]
+           .set_index("partition_key")["score"])
+    for k, v in exp.items():
+        assert math.isclose(got[k], v, abs_tol=1e-12), (k, got[k], v)
+
+    # completeness: fixture has no missing url/ts/lang; text may extract
+    # empty only for degenerate docs — expect score in (0.9, 1.0]
+    comp = mets[mets["dimension"] == "completeness"]["score"]
+    assert (comp > 0.9).all()
