@@ -1,0 +1,201 @@
+"""Generic dataset-level quality checks — the reference's seven check
+families as reusable single-pass aggregations over ANY DataFrame.
+
+Each mirrors a reference formula exactly (citations per function) and
+returns a small DataFrame with stable column names so an ANSI-SQL
+oracle can replay it. All are one groupBy/agg — partial aggregation
+map-side, no skew (global aggregates), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rating import bucket_rating
+
+
+def _flag(c) -> F.Column:
+    return F.when(c, 1).otherwise(0)
+
+
+def completeness(df: DataFrame, cols: list[str],
+                 empty_string_is_missing: bool = True) -> DataFrame:
+    """Non-missing cells / total cells + per-column missing counts.
+
+    Reference: quality_checks.py:215-242 (NaN as missing), with the
+    empty-string sentinel of uc3_timeseries_quality_checks.py:824-830.
+    Output: one row (score, n_rows, missing_<col>...).
+    """
+    def missing(c: str):
+        m = F.col(c).isNull()
+        if empty_string_is_missing:
+            m = m | (F.col(c).cast("string") == "")
+        return m
+
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(_flag(missing(c))).alias(f"missing_{c}"))
+    row = df.agg(*aggs)
+    total_missing = sum(F.col(f"missing_{c}") for c in cols)
+    return row.select(
+        F.round(F.lit(1.0) - total_missing
+                / (F.col("n_rows") * len(cols)), 6).alias("score"),
+        "n_rows",
+        *[F.col(f"missing_{c}") for c in cols],
+    )
+
+
+def accuracy_ranges(df: DataFrame, ranges: dict[str, tuple[float, float]],
+                    allowed: dict[str, list] | None = None) -> DataFrame:
+    """Values-within-expected-range ratio per column + overall.
+
+    Reference: quality_checks.py:77-133 — per configured column,
+    valid = non-null values inside [lo, hi] (or in the allow-list);
+    per-column accuracy = valid/non-null; overall = mean of per-column
+    accuracies. Output: one row (score, acc_<col>...).
+    """
+    allowed = allowed or {}
+    aggs = []
+    names = []
+    for c, (lo, hi) in ranges.items():
+        nn = F.sum(_flag(F.col(c).isNotNull()))
+        ok = F.sum(_flag(F.col(c).between(lo, hi)))
+        aggs.append(F.round(ok / nn, 6).alias(f"acc_{c}"))
+        names.append(f"acc_{c}")
+    for c, vals in allowed.items():
+        nn = F.sum(_flag(F.col(c).isNotNull()))
+        ok = F.sum(_flag(F.col(c).isin(vals)))
+        aggs.append(F.round(ok / nn, 6).alias(f"acc_{c}"))
+        names.append(f"acc_{c}")
+    row = df.agg(*aggs)
+    overall = sum(F.col(n) for n in names) / len(names)
+    return row.select(F.round(overall, 6).alias("score"),
+                      *[F.col(n) for n in names])
+
+
+def coherence_types(df: DataFrame, numeric_cols: list[str],
+                    categorical_cols: list[str],
+                    max_unique: int = 50) -> DataFrame:
+    """Type-consistency ratio: numeric ⇒ every non-null value castable
+    to double; categorical ⇒ distinct count ≤ max_unique.
+
+    Reference: quality_checks.py:136-188 (nunique ≤ 50; UC4 uses ≤ 20
+    — pass max_unique=20 for that profile). Output: one row
+    (score, n_consistent, n_checked).
+    """
+    aggs = []
+    for c in numeric_cols:
+        bad = F.sum(_flag(F.col(c).cast("string").isNotNull()
+                          & F.col(c).cast("double").isNull()))
+        aggs.append(_flag(bad == 0).alias(f"ok_{c}"))
+    for c in categorical_cols:
+        aggs.append(_flag(F.count_distinct(F.col(c)) <= max_unique)
+                    .alias(f"ok_{c}"))
+    row = df.agg(*aggs)
+    names = [f"ok_{c}" for c in numeric_cols + categorical_cols]
+    n_ok = sum(F.col(n) for n in names)
+    return row.select(
+        F.round(n_ok / F.lit(len(names)), 6).alias("score"),
+        n_ok.cast("int").alias("n_consistent"),
+        F.lit(len(names)).alias("n_checked"))
+
+
+def representativity_maxdev(df: DataFrame, col: str) -> DataFrame:
+    """A2: score = 1 − max_c |p_c − 1/k| / (1 − 1/k), clamped to [0,1].
+
+    Reference: quality_checks.py:31-43. Output: one row (score, k).
+    """
+    counts = df.filter(F.col(col).isNotNull()) \
+               .groupBy(col).agg(F.count("*").alias("n"))
+    dev = (counts.crossJoin(
+        counts.agg(F.count("*").alias("k"),
+                   F.sum("n").alias("total")))
+        .agg(F.max(F.abs(F.col("n") / F.col("total") - 1.0 / F.col("k")))
+             .alias("max_dev"),
+             F.first("k").alias("k")))
+    return dev.select(
+        F.when(F.col("k") <= 1, F.lit(1.0)).otherwise(
+            F.round(F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(1.0),
+                        F.lit(1.0) - F.col("max_dev")
+                        / (1.0 - 1.0 / F.col("k")))), 6)).alias("score"),
+        F.col("k").cast("int").alias("k"))
+
+
+def representativity_totaldev(df: DataFrame, col: str) -> DataFrame:
+    """A3: score = 1 − Σ_c |p_c − 1/k| / (2(1 − 1/k)).
+
+    Reference: uc4_tabular_quality_checks.py:34-42 (duplicated at
+    uc1:337-347). Output: one row (score, k).
+    """
+    counts = df.filter(F.col(col).isNotNull()) \
+               .groupBy(col).agg(F.count("*").alias("n"))
+    dev = (counts.crossJoin(
+        counts.agg(F.count("*").alias("k"), F.sum("n").alias("total")))
+        .agg(F.sum(F.abs(F.col("n") / F.col("total") - 1.0 / F.col("k")))
+             .alias("total_dev"),
+             F.first("k").alias("k")))
+    return dev.select(
+        F.when(F.col("k") <= 1, F.lit(1.0)).otherwise(
+            F.round(F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(1.0),
+                        F.lit(1.0) - F.col("total_dev")
+                        / (2.0 * (1.0 - 1.0 / F.col("k"))))), 6))
+        .alias("score"),
+        F.col("k").cast("int").alias("k"))
+
+
+def bucketed_balance(df: DataFrame, col: str,
+                     bins: list[float], labels: list[str]) -> DataFrame:
+    """A4: bucket a numeric column (closed-right bins, include-lowest,
+    pd.cut semantics — uc4:145-150), drop empty bins, score via A3.
+    Output: one row (score, k)."""
+    c = F.col(col).cast("double")
+    b = F.lit(None).cast("string")
+    for i in range(len(bins) - 1, 0, -1):
+        lo, hi = bins[i - 1], bins[i]
+        cond = (c <= hi) & ((c > lo) if i > 1 else (c >= lo))
+        b = F.when(cond, F.lit(labels[i - 1])).otherwise(b)
+    bucketed = df.select(b.alias("bucket")).filter(F.col("bucket").isNotNull())
+    return representativity_totaldev(bucketed, "bucket")
+
+
+def duplicate_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A10 relational consistency: unique rows / total rows.
+
+    Reference: quality_checks.py:245-275. Output: one row
+    (score, n_rows, n_unique, n_dup_rows)."""
+    cols = cols or df.columns
+    key = F.struct(*[F.col(c) for c in cols])
+    agg = df.agg(F.count("*").alias("n_rows"),
+                 F.count_distinct(key).alias("n_unique"))
+    return agg.select(
+        F.round(F.col("n_unique") / F.col("n_rows"), 6).alias("score"),
+        "n_rows", "n_unique",
+        (F.col("n_rows") - F.col("n_unique")).alias("n_dup_rows"))
+
+
+def metadata_granularity(df: DataFrame, meta_cols: list[str],
+                         min_present: int | None = None) -> DataFrame:
+    """A16 (UC3 profile): rows with ≥ min_present of the metadata
+    columns populated / rows (uc3:314-370; default = all columns,
+    the graft's (url, warc_ts, lang) completeness). Output: one row
+    (score, n_rows)."""
+    min_present = min_present if min_present is not None else len(meta_cols)
+    present = sum(
+        _flag(F.col(c).isNotNull() & (F.col(c).cast("string") != ""))
+        for c in meta_cols)
+    agg = df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_flag(present >= min_present)).alias("n_ok"))
+    return agg.select(
+        F.round(F.col("n_ok") / F.col("n_rows"), 6).alias("score"),
+        "n_rows")
+
+
+def with_rating(scored: DataFrame, score_col: str = "score") -> DataFrame:
+    """Attach the reference bucket rating (rating.py:4-27)."""
+    return scored.withColumn("rating", bucket_rating(F.col(score_col)))

@@ -1,0 +1,124 @@
+"""Text-analysis operators: token counting, quality scoring,
+heuristic language ID, document fingerprinting.
+
+All native column expressions (oracle-SQL-checkable); the model-based
+langid lives in models/langid.py and runs inside the pipeline UDF —
+this module is the cheap, pure-SQL tier a 100 TB pre-pass would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import STOPWORDS
+from ..functions.hashing import hash60
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars, avg_token_len, n_bpe_ish) per doc.
+
+    n_bpe_ish: BPE-like subword count estimated with the classic
+    pre-tokenizer regex (letter runs / digit runs / single symbols).
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+    tok_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(F.when(n_tokens > 0, tok_chars / n_tokens)
+                .otherwise(F.lit(0.0)), 6).alias("avg_token_len"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .alias("n_bpe_ish"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, len_score, punct_ratio, stop_frac, quality) — composite
+    heuristic quality score in [0,1] (C4-ish)."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    punct = F.when(F.length(t) > 0,
+                   F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
+                   / F.length(t)).otherwise(F.lit(0.0))
+    stops = [w for ws in STOPWORDS.values() for w in ws]
+    stop_hits = F.size(F.filter(
+        F.when(F.length(trimmed) == 0,
+               F.array().cast("array<string>"))
+        .otherwise(F.transform(F.split(trimmed, r"\s+"),
+                               lambda x: F.lower(x))),
+        lambda x: x.isin(*sorted(set(stops)))))
+    stop_frac = F.when(n_tokens > 0, stop_hits / n_tokens) \
+                 .otherwise(F.lit(0.0))
+    quality = (F.lit(0.4) * len_score
+               + F.lit(0.3) * F.least(stop_frac * 4, F.lit(1.0))
+               + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 5, F.lit(1.0))))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def langid_heuristic(df: DataFrame, id_col: str, text_col: str,
+                     claimed_col: str | None = None) -> DataFrame:
+    """(id, lang_pred [, lang_match]) — stop-word-marker voting.
+
+    Counts per-language stop-word hits; argmax with a fixed language-
+    order tie-break. The cheap SQL-only tier; the real classifier is
+    models/langid.py."""
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.transform(F.split(trimmed, r"\s+"),
+                                   lambda x: F.lower(x)))
+    df2 = df.select(F.col(id_col).alias("id"),
+                    *([F.col(claimed_col).alias("lang_claim")]
+                      if claimed_col else []),
+                    toks.alias("_toks"))
+    votes = [
+        F.size(F.filter(F.col("_toks"),
+                        lambda x: x.isin(*STOPWORDS[lang]))).alias(
+            f"v_{lang}")
+        for lang in sorted(STOPWORDS)
+    ]
+    df2 = df2.select("id",
+                     *([F.col("lang_claim")] if claimed_col else []),
+                     *votes)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"v_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier lang wins ties
+        pred = F.when(F.col(f"v_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    out = df2.withColumn("lang_pred", pred)
+    if claimed_col:
+        out = out.withColumn("lang_match",
+                             F.col("lang_pred") == F.col("lang_claim"))
+    return out.drop(*[f"v_{lg}" for lg in langs])
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 5) -> DataFrame:
+    """(id, fingerprint) — min 60-bit hash over word n-gram shingles
+    (winnowing-lite): equal fingerprints ⇒ shared rare shingle, a
+    cheap near-dup pre-cluster key. Docs shorter than n words hash
+    the whole text."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(F.transform(grams, lambda g: hash60(g)))
+        .alias("fingerprint"),
+    )

@@ -1,0 +1,223 @@
+"""Operator-level unit tests vs independently computed expectations."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from standard_data_quality_framework_spark.operators import (
+    dedup, multimodal, quality, similarity, textstats)
+
+DOCS = [
+    (0, "the cat sat on the mat and then the cat sat down again today"),
+    (1, "the cat sat on the mat and then the cat sat down again today"),
+    (2, "the cat sat on the mat and then the dog sat down again today"),
+    (3, "completely different words appear within this other document here"),
+    (4, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n=5):
+    toks = text.split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs, "doc_id", "text").toPandas()
+    assert out[out.id == 0].is_dup.iloc[0] == False  # noqa: E712
+    assert out[out.id == 1].is_dup.iloc[0] == True  # noqa: E712
+    assert out[out.id == 1].kept_id.iloc[0] == 0
+    assert out.is_dup.sum() == 1
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    got = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                    n=3, threshold=0.0).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    texts = dict(DOCS)
+    for a, b in itertools.combinations(texts, 2):
+        sa, sb = _py_shingles(texts[a], 3), _py_shingles(texts[b], 3)
+        inter = len(sa & sb)
+        if inter == 0:
+            assert (a, b) not in got
+        else:
+            exp = inter / len(sa | sb)
+            assert math.isclose(got[(a, b)], exp), (a, b)
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs):
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                  n=3, threshold=0.5).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    j01 = out[(out.id_a == 0) & (out.id_b == 1)].jaccard.iloc[0]
+    assert math.isclose(j01, 1.0)
+
+
+def test_simhash_near_vs_far(spark, docs):
+    sig = dedup.simhash(docs, "doc_id", "text").toPandas() \
+        .set_index("id")["simhash"]
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(sig[0], sig[1]) == 0          # identical text
+    assert ham(sig[0], sig[2]) <= 6          # one word changed
+    assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])  # unrelated farther
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text",
+                                max_hamming=2).toPandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 8)
+    base[7] = base[3] + rng.randn(8) * 0.01   # near-dup of 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_neardup(spark, emb):
+    out = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.95).toPandas()
+    assert (3, 7) in set(zip(out.id_a, out.id_b))
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(emb, q, "vec_id", "embedding",
+                                 k=4).toPandas()
+    vecs = {r.vec_id: np.array(r.embedding)
+            for r in emb.collect()}
+    for qid in range(3):
+        sims = sorted(
+            ((round(float(np.dot(vecs[qid], v)
+                          / (np.linalg.norm(vecs[qid])
+                             * np.linalg.norm(v))), 4), -i)
+             for i, v in vecs.items() if i != qid),
+            reverse=True)[:4]
+        exp_ids = [-i for _, i in sims]
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(g.neighbor_id) == exp_ids, qid
+
+
+def test_lsh_ann_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=3) \
+        .toPandas()
+    approx = similarity.lsh_ann(emb, q, "vec_id", "embedding", k=3,
+                                n_planes=4, dim=8).toPandas()
+    # every approx neighbor's similarity must be a real similarity value
+    assert not approx.empty
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall > 0.2  # sanity floor; bench reports the real number
+
+
+def test_token_stats_matches_python(spark, docs):
+    out = textstats.token_stats(docs, "doc_id", "text").toPandas() \
+        .set_index("id")
+    for did, text in DOCS:
+        assert out.loc[did, "n_tokens"] == len(text.split())
+        assert out.loc[did, "n_chars"] == len(text)
+
+
+def test_quality_scores_bounds(spark, docs):
+    out = textstats.quality_scores(docs, "doc_id", "text").toPandas()
+    assert ((out.quality >= 0) & (out.quality <= 1)).all()
+    # the short doc scores below the long stopword-rich docs
+    q = out.set_index("id").quality
+    assert q[4] < q[0]
+
+
+def test_langid_heuristic(spark):
+    rows = [(0, "the cat of the house and it was", "en"),
+            (1, "le chat de la maison et il est", "fr"),
+            (2, "der hund und die katze ist ein", "de"),
+            (3, "el perro y la casa es un dia", "es")]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    out = textstats.langid_heuristic(df, "id", "text", "lang").toPandas()
+    assert out.lang_match.all(), out
+
+
+def test_doc_fingerprint_dup_pair(spark, docs):
+    out = textstats.doc_fingerprint(docs, "doc_id", "text").toPandas() \
+        .set_index("id")["fingerprint"]
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+
+
+# --- generic quality checks (reference formula parity) ----------------------
+
+def test_representativity_formulas(spark):
+    # 60/40 two-class split: A2 = 1 - 0.1/0.5 = 0.8 ; A3 = 1 - 0.2/1.0 = 0.8
+    df = spark.createDataFrame([("a",)] * 60 + [("b",)] * 40, "c string")
+    a2 = quality.representativity_maxdev(df, "c").toPandas()
+    a3 = quality.representativity_totaldev(df, "c").toPandas()
+    assert math.isclose(a2.score[0], 0.8)
+    assert math.isclose(a3.score[0], 0.8)
+    # perfectly balanced 3 classes → 1.0 both
+    df3 = spark.createDataFrame([("a",), ("b",), ("c",)] * 10, "c string")
+    assert quality.representativity_maxdev(df3, "c").toPandas().score[0] == 1.0
+    assert quality.representativity_totaldev(df3, "c").toPandas().score[0] == 1.0
+
+
+def test_bucketed_balance_pd_cut_parity(spark):
+    vals = [0, 40, 41, 55, 56, 70, 71, 119, 120, 39, 54, 69]
+    df = spark.createDataFrame([(float(v),) for v in vals], "age double")
+    got = quality.bucketed_balance(
+        df, "age", [0, 40, 55, 70, 120],
+        ["<40", "40-54", "55-69", "70+"]).toPandas()
+    s = pd.cut(pd.Series(vals), bins=[0, 40, 55, 70, 120],
+               labels=["<40", "40-54", "55-69", "70+"],
+               include_lowest=True, right=True)
+    counts = s.value_counts()
+    counts = counts[counts > 0]
+    k = len(counts)
+    p = counts / counts.sum()
+    exp = 1 - (p - 1 / k).abs().sum() / (2 * (1 - 1 / k))
+    assert math.isclose(got.score[0], round(exp, 6), abs_tol=1e-6)
+
+
+def test_completeness_and_dup_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, ""), (1, "x")], "a int, b string")
+    comp = quality.completeness(df, ["a", "b"]).toPandas()
+    assert math.isclose(comp.score[0], 1 - 2 / 8)
+    dup = quality.duplicate_rows(df).toPandas()
+    assert dup.n_dup_rows[0] == 1
+    assert math.isclose(dup.score[0], 3 / 4)
+
+
+def test_rating_boundaries(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (0.2,), (0.20001,), (0.4,), (0.6,), (0.8,), (0.80001,),
+         (1.0,)], "score double")
+    out = quality.with_rating(df).toPandas()
+    assert list(out.rating) == [1, 1, 2, 2, 3, 4, 5, 5]
+
+
+def test_multimodal_stub_roundtrip(spark):
+    rows = [(1, bytes([0xFF, 0xD8, 0xFF]) + b"x" * 100),
+            (2, bytes([0x89, 0x50, 0x4E, 0x47]) + b"y" * 50),
+            (3, None)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    meta = multimodal.media_metadata(df, "id", "blob").toPandas() \
+        .set_index("id")
+    assert meta.loc[1, "kind"] == "jpeg"
+    assert meta.loc[2, "kind"] == "png"
+    dec = multimodal.decode_media(df, "id", "blob").toPandas() \
+        .set_index("id")
+    assert dec.loc[1, "byte_len"] == 103
+    assert dec.loc[3, "kind"] == "missing"
+    assert len(dec.loc[1, "feat"]) == 4
