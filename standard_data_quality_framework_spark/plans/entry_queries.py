@@ -1,0 +1,950 @@
+"""Driver-contract queries: every implemented operator as a
+(spark_fn, oracle_sql) pair over the driver testdata tables.
+
+Conventions that make the cross-engine value-hash succeed:
+  * every computed column is aliased identically in Spark and SQL;
+  * ratios/scores are round(…, 6), money sums round(…, 1), cosine
+    round(…, 4) — rounded in BOTH engines before output;
+  * counts come from count()/count(CASE…) so both engines emit BIGINT
+    (DuckDB sum(int) would be HUGEINT);
+  * dates are emitted as 'yyyy-MM-dd' strings;
+  * all hashing goes through the md5-prefix hash60 (functions/hashing)
+    which both engines compute bit-identically;
+  * deterministic tie-breaks (id asc) on every ranked output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import STOPWORDS
+from ..functions.hashing import (MERSENNE31, hash60, hash60_sql,
+                                 hyperplanes, minhash_coeffs)
+from ..functions.rating import (bucket_rating,
+                                piecewise_rating_lower_better)
+from ..operators import dedup, quality, similarity, textstats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sum_cents(col) -> F.Column:
+    """Exact cross-engine money sum: per-element rounding to integer
+    cents is engine-stable (same IEEE double in, same cent out), and
+    the integer sum is order-independent — unlike a float SUM, whose
+    last-ulp wobble can flip a round(…, 1) across engines."""
+    return F.sum(F.round(col * 100).cast("long"))
+
+
+def _sum_cents_sql(expr: str) -> str:
+    return f"CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS BIGINT)"
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ===========================================================================
+# 1. Relational core (proves the engine does real query work)
+# ===========================================================================
+
+@register("q1_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       round({_sum_cents_sql('l_quantity')} / 100.0, 2)      AS sum_qty,
+       round({_sum_cents_sql('l_extendedprice')} / 100.0, 2) AS sum_base_price,
+       round({_sum_cents_sql('l_extendedprice * (1 - l_discount)')} / 100.0, 2)
+                                                             AS sum_disc_price,
+       round({_sum_cents_sql('l_quantity')} / (100.0 * count(*)), 6)
+                                                             AS avg_qty,
+       round({_sum_cents_sql('l_discount')} / (100.0 * count(*)), 6)
+                                                             AS avg_disc,
+       count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(_sum_cents(F.col("l_quantity")) / 100.0, 2)
+                 .alias("sum_qty"),
+                 F.round(_sum_cents(F.col("l_extendedprice")) / 100.0, 2)
+                 .alias("sum_base_price"),
+                 F.round(_sum_cents(disc_price) / 100.0, 2)
+                 .alias("sum_disc_price"),
+                 F.round(_sum_cents(F.col("l_quantity"))
+                         / (100.0 * F.count("*")), 6).alias("avg_qty"),
+                 F.round(_sum_cents(F.col("l_discount"))
+                         / (100.0 * F.count("*")), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@register("q3_top_orders", f"""
+WITH rev AS (
+  SELECT o.o_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+         round({_sum_cents_sql('l.l_extendedprice * (1 - l.l_discount)')}
+               / 100.0, 2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+)
+SELECT o_orderkey, orderdate, revenue
+FROM rev
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"))
+           .agg(F.round(_sum_cents(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))) / 100.0, 2)
+                .alias("revenue")))
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+@register("q5_nation_revenue", f"""
+SELECT n.n_name,
+       round({_sum_cents_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             / 100.0, 2) AS revenue,
+       count(*) AS n_lineitems
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = (SELECT min(r_name) FROM region)
+GROUP BY n.n_name
+""")
+def q5(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    first_region = r.agg(F.min("r_name")).collect()[0][0]
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (n.join(F.broadcast(r.filter(F.col("r_name") == first_region)),
+                  n.n_regionkey == F.col("r_regionkey")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(_sum_cents(F.col("l_extendedprice")
+                                    * (1 - F.col("l_discount"))) / 100.0, 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lineitems")))
+
+
+@register("user_sessions", """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - lag(CAST(epoch(ts) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       1 + count(CASE WHEN new_sess = 1 THEN 1 END) AS n_sessions
+FROM g
+GROUP BY user_id
+""")
+def user_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0))
+    return (g.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.lit(1) + F.count(F.when(F.col("new_sess") == 1, 1)))
+                 .alias("n_sessions")))
+
+
+@register("topk_docs_per_lang", """
+SELECT doc_id, lang, n_chars, rn FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+""")
+def topk_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.select("doc_id", "lang", "n_chars",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@register("daily_event_mix", f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
+       count(CASE WHEN event_type = 'view' THEN 1 END)     AS n_view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'error' THEN 1 END)    AS n_error,
+       count(CASE WHEN event_type = 'signup' THEN 1 END)   AS n_signup,
+       count(*) AS n_total,
+       round({_sum_cents_sql('value')} / 100.0, 2) AS sum_value
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+""")
+def daily_event_mix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    def n_of(t):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(n_of("click"), n_of("view"), n_of("purchase"),
+                 n_of("error"), n_of("signup"),
+                 F.count("*").alias("n_total"),
+                 F.round(_sum_cents(F.col("value")) / 100.0, 2)
+                 .alias("sum_value")))
+
+
+# ===========================================================================
+# 2. SDQF quality dimensions (reference-formula parity)
+# ===========================================================================
+
+@register("completeness_documents", """
+SELECT round(1.0 - (count(CASE WHEN text IS NULL OR text = '' THEN 1 END)
+                    + count(CASE WHEN lang IS NULL OR lang = '' THEN 1 END)
+                    + count(CASE WHEN source IS NULL OR source = '' THEN 1 END)
+                   ) / (count(*) * 3.0), 6) AS score,
+       count(*) AS n_rows,
+       count(CASE WHEN text IS NULL OR text = '' THEN 1 END)   AS missing_text,
+       count(CASE WHEN lang IS NULL OR lang = '' THEN 1 END)   AS missing_lang,
+       count(CASE WHEN source IS NULL OR source = '' THEN 1 END) AS missing_source
+FROM documents
+""")
+def completeness_documents(spark, sf_dir):
+    return quality.completeness(_t(spark, sf_dir, "documents"),
+                                ["text", "lang", "source"])
+
+
+@register("accuracy_ranges_lineitem", """
+SELECT round(( count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END)
+               * 1.0 / count(CASE WHEN l_quantity IS NOT NULL THEN 1 END)
+             + count(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 END)
+               * 1.0 / count(CASE WHEN l_discount IS NOT NULL THEN 1 END)
+             + count(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 1 END)
+               * 1.0 / count(CASE WHEN l_tax IS NOT NULL THEN 1 END)
+             ) / 3.0, 6) AS score,
+       round(count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END)
+             * 1.0 / count(CASE WHEN l_quantity IS NOT NULL THEN 1 END), 6)
+             AS acc_l_quantity,
+       round(count(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 END)
+             * 1.0 / count(CASE WHEN l_discount IS NOT NULL THEN 1 END), 6)
+             AS acc_l_discount,
+       round(count(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 1 END)
+             * 1.0 / count(CASE WHEN l_tax IS NOT NULL THEN 1 END), 6)
+             AS acc_l_tax
+FROM lineitem
+""")
+def accuracy_lineitem(spark, sf_dir):
+    return quality.accuracy_ranges(
+        _t(spark, sf_dir, "lineitem"),
+        {"l_quantity": (1, 50), "l_discount": (0, 0.1),
+         "l_tax": (0, 0.08)})
+
+
+@register("coherence_types_documents", """
+WITH checks AS (
+  SELECT CASE WHEN count(CASE WHEN n_chars IS NOT NULL
+                    AND TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NULL
+                    THEN 1 END) = 0 THEN 1 ELSE 0 END AS ok_n_chars,
+         CASE WHEN count(DISTINCT lang)   <= 10 THEN 1 ELSE 0 END AS ok_lang,
+         CASE WHEN count(DISTINCT source) <= 10 THEN 1 ELSE 0 END AS ok_source
+  FROM documents
+)
+SELECT round((ok_n_chars + ok_lang + ok_source) / 3.0, 6) AS score,
+       CAST(ok_n_chars + ok_lang + ok_source AS INT) AS n_consistent,
+       3 AS n_checked
+FROM checks
+""")
+def coherence_documents(spark, sf_dir):
+    return quality.coherence_types(
+        _t(spark, sf_dir, "documents"),
+        numeric_cols=["n_chars"], categorical_cols=["lang", "source"],
+        max_unique=10)
+
+
+@register("representativity_maxdev_lang", """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT count(*) AS k, sum(n) AS total FROM counts)
+SELECT CASE WHEN k <= 1 THEN 1.0 ELSE
+  round(greatest(0.0, least(1.0,
+    1.0 - (SELECT max(abs(n * 1.0 / total - 1.0 / k)) FROM counts, tot)
+          / (1.0 - 1.0 / k))), 6) END AS score,
+  CAST(k AS INT) AS k
+FROM tot
+""")
+def rep_maxdev(spark, sf_dir):
+    return quality.representativity_maxdev(
+        _t(spark, sf_dir, "documents"), "lang")
+
+
+@register("representativity_totaldev_lang", """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT count(*) AS k, sum(n) AS total FROM counts)
+SELECT CASE WHEN k <= 1 THEN 1.0 ELSE
+  round(greatest(0.0, least(1.0,
+    1.0 - (SELECT sum(abs(n * 1.0 / total - 1.0 / k)) FROM counts, tot)
+          / (2.0 * (1.0 - 1.0 / k)))), 6) END AS score,
+  CAST(k AS INT) AS k
+FROM tot
+""")
+def rep_totaldev(spark, sf_dir):
+    return quality.representativity_totaldev(
+        _t(spark, sf_dir, "documents"), "lang")
+
+
+@register("balance_value_buckets", """
+WITH b AS (
+  SELECT CASE WHEN value >= 0  AND value <= 40  THEN '<=40'
+              WHEN value > 40  AND value <= 55  THEN '40-55'
+              WHEN value > 55  AND value <= 70  THEN '55-70'
+              WHEN value > 70  AND value <= 120 THEN '70-120'
+         END AS bucket
+  FROM events
+),
+counts AS (SELECT bucket, count(*) AS n FROM b
+           WHERE bucket IS NOT NULL GROUP BY bucket),
+tot AS (SELECT count(*) AS k, sum(n) AS total FROM counts)
+SELECT CASE WHEN k <= 1 THEN 1.0 ELSE
+  round(greatest(0.0, least(1.0,
+    1.0 - (SELECT sum(abs(n * 1.0 / total - 1.0 / k)) FROM counts, tot)
+          / (2.0 * (1.0 - 1.0 / k)))), 6) END AS score,
+  CAST(k AS INT) AS k
+FROM tot
+""")
+def balance_buckets(spark, sf_dir):
+    return quality.bucketed_balance(
+        _t(spark, sf_dir, "events"), "value",
+        [0, 40, 55, 70, 120], ["<=40", "40-55", "55-70", "70-120"])
+
+
+@register("duplicate_rows_documents", """
+SELECT round(count(DISTINCT text) * 1.0 / count(*), 6) AS score,
+       count(*) AS n_rows,
+       count(DISTINCT text) AS n_unique,
+       count(*) - count(DISTINCT text) AS n_dup_rows
+FROM documents
+""")
+def dup_rows_documents(spark, sf_dir):
+    return quality.duplicate_rows(
+        _t(spark, sf_dir, "documents"), ["text"])
+
+
+@register("metadata_granularity_documents", """
+SELECT round(count(CASE WHEN (CASE WHEN lang IS NOT NULL AND lang <> ''
+                                   THEN 1 ELSE 0 END
+                            + CASE WHEN source IS NOT NULL AND source <> ''
+                                   THEN 1 ELSE 0 END) >= 2
+                        THEN 1 END) * 1.0 / count(*), 6) AS score,
+       count(*) AS n_rows
+FROM documents
+""")
+def metadata_documents(spark, sf_dir):
+    return quality.metadata_granularity(
+        _t(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+@register("piecewise_rating_by_source", """
+WITH err AS (
+  SELECT source,
+         count(CASE WHEN n_chars < 150 THEN 1 END) * 1.0 / count(*) AS err_ratio
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, err_ratio,
+         least(greatest(CASE WHEN err_ratio <= 0.2 THEN 5.0
+                             WHEN err_ratio >= 0.8 THEN 1.0
+                             ELSE 5.0 - (err_ratio - 0.2) / 0.15 END,
+                        1.0), 5.0) AS rating
+  FROM err
+)
+SELECT source, round(err_ratio, 6) AS err_ratio,
+       round(rating, 6) AS rating,
+       round((rating - 1.0) / 4.0, 6) AS norm_score
+FROM r
+""")
+def piecewise_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    err = (d.groupBy("source")
+           .agg((F.count(F.when(F.col("n_chars") < 150, 1))
+                 / F.count("*")).alias("err_ratio")))
+    rated = err.withColumn(
+        "rating_raw", piecewise_rating_lower_better(F.col("err_ratio")))
+    return rated.select(
+        "source", F.round("err_ratio", 6).alias("err_ratio"),
+        F.round("rating_raw", 6).alias("rating"),
+        F.round((F.col("rating_raw") - 1.0) / 4.0, 6).alias("norm_score"))
+
+
+@register("stage_consistency_lineitem", """
+WITH s AS (
+  SELECT (l_linenumber % 5) AS t, (l_partkey % 4) AS n,
+         (l_suppkey % 2) AS m, (l_orderkey % 5) AS rec_idx
+  FROM lineitem
+),
+d AS (
+  SELECT CASE WHEN m > 0 THEN 'IV'
+              WHEN t >= 4 OR n >= 3 THEN 'IIIb'
+              WHEN n = 2 OR (t = 3 AND n <= 1) THEN 'IIIa'
+              WHEN t >= 2 AND n <= 1 THEN 'II'
+              WHEN t = 1 AND n = 0 THEN 'I'
+              ELSE '0' END AS derived,
+         CASE rec_idx WHEN 0 THEN '0' WHEN 1 THEN 'I' WHEN 2 THEN 'II'
+              WHEN 3 THEN 'IIIa' ELSE 'IV' END AS recorded
+  FROM s
+)
+SELECT round(count(CASE WHEN derived = recorded THEN 1 END) * 1.0
+             / count(*), 6) AS score,
+       count(CASE WHEN derived = recorded THEN 1 END) AS n_consistent,
+       count(*) AS n_checked
+FROM d
+""")
+def stage_consistency(spark, sf_dir):
+    """A17 clinical-stage when-tree (quality_checks.py:329-357) over a
+    deterministic synthetic T/N/M encoding of lineitem keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = F.col("l_linenumber") % 5
+    n = F.col("l_partkey") % 4
+    m = F.col("l_suppkey") % 2
+    derived = (F.when(m > 0, "IV")
+               .when((t >= 4) | (n >= 3), "IIIb")
+               .when((n == 2) | ((t == 3) & (n <= 1)), "IIIa")
+               .when((t >= 2) & (n <= 1), "II")
+               .when((t == 1) & (n == 0), "I")
+               .otherwise("0"))
+    rec = (F.when(F.col("l_orderkey") % 5 == 0, "0")
+           .when(F.col("l_orderkey") % 5 == 1, "I")
+           .when(F.col("l_orderkey") % 5 == 2, "II")
+           .when(F.col("l_orderkey") % 5 == 3, "IIIa")
+           .otherwise("IV"))
+    d = li.select(derived.alias("derived"), rec.alias("recorded"))
+    return d.agg(
+        F.round(F.count(F.when(F.col("derived") == F.col("recorded"), 1))
+                / F.count("*"), 6).alias("score"),
+        F.count(F.when(F.col("derived") == F.col("recorded"), 1))
+        .alias("n_consistent"),
+        F.count("*").alias("n_checked"))
+
+
+@register("dimension_ratings_documents", None)  # assembled below
+def dimension_ratings(spark, sf_dir):
+    """Three SQL-expressible dimensions + bucket ratings + overall —
+    the reference's get_ratings/get_overall_rating shape
+    (rating.py:30-54)."""
+    d = _t(spark, sf_dir, "documents")
+    comp = quality.completeness(d, ["text", "lang", "source"]) \
+        .select(F.lit("completeness").alias("dimension"), "score")
+    uniq = quality.duplicate_rows(d, ["text"]) \
+        .select(F.lit("relational_consistency").alias("dimension"), "score")
+    rep = quality.representativity_totaldev(d, "lang") \
+        .select(F.lit("population_representativity").alias("dimension"),
+                "score")
+    dims = comp.unionByName(uniq).unionByName(rep) \
+        .withColumn("rating", bucket_rating(F.col("score")))
+    overall = dims.agg(
+        F.lit("overall").alias("dimension"),
+        F.round(F.avg("score"), 6).alias("score"),
+        F.round(F.avg(F.col("rating").cast("double")), 6).alias("rating_avg"))
+    dims_out = dims.select("dimension", F.round("score", 6).alias("score"),
+                           F.col("rating").cast("double").alias("rating_avg"))
+    return dims_out.unionByName(overall)
+
+
+ORACLES["dimension_ratings_documents"] = """
+WITH comp AS (
+  SELECT 'completeness' AS dimension,
+         round(1.0 - (count(CASE WHEN text IS NULL OR text = '' THEN 1 END)
+                    + count(CASE WHEN lang IS NULL OR lang = '' THEN 1 END)
+                    + count(CASE WHEN source IS NULL OR source = '' THEN 1 END)
+                   ) / (count(*) * 3.0), 6) AS score
+  FROM documents
+),
+uniq AS (
+  SELECT 'relational_consistency' AS dimension,
+         round(count(DISTINCT text) * 1.0 / count(*), 6) AS score
+  FROM documents
+),
+repc AS (SELECT lang, count(*) AS n FROM documents
+         WHERE lang IS NOT NULL GROUP BY lang),
+rept AS (SELECT count(*) AS k, sum(n) AS total FROM repc),
+rep AS (
+  SELECT 'population_representativity' AS dimension,
+         CASE WHEN k <= 1 THEN 1.0 ELSE
+           round(greatest(0.0, least(1.0,
+             1.0 - (SELECT sum(abs(n * 1.0 / total - 1.0 / k))
+                    FROM repc, rept) / (2.0 * (1.0 - 1.0 / k)))), 6)
+         END AS score
+  FROM rept
+),
+dims AS (
+  SELECT dimension, score,
+         CASE WHEN least(greatest(score, 0.0), 1.0) <= 0.2 THEN 1
+              WHEN least(greatest(score, 0.0), 1.0) <= 0.4 THEN 2
+              WHEN least(greatest(score, 0.0), 1.0) <= 0.6 THEN 3
+              WHEN least(greatest(score, 0.0), 1.0) <= 0.8 THEN 4
+              ELSE 5 END AS rating
+  FROM (SELECT * FROM comp UNION ALL SELECT * FROM uniq
+        UNION ALL SELECT * FROM rep)
+)
+SELECT dimension, score, CAST(rating AS DOUBLE) AS rating_avg FROM dims
+UNION ALL
+SELECT 'overall', round(avg(score), 6), round(avg(rating * 1.0), 6)
+FROM dims
+"""
+
+
+# ===========================================================================
+# 3. Dedup / text analysis / similarity (training-data pipeline ops)
+# ===========================================================================
+
+# Shared DuckDB CTE: distinct word-5-gram shingles per doc.
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+)
+"""
+
+
+@register("dedup_exact_keep_first", """
+SELECT doc_id AS id, md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS kept_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+""")
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text") \
+        .select("id", "content_hash", "kept_id", "is_dup")
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+""")
+def dedup_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=5, threshold=0.5)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_seed_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})"
+                     for i, (a, b) in enumerate(minhash_coeffs(16)))
+
+
+@register("dedup_minhash_signatures", f"""
+WITH {_SHINGLE_CTE},
+seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+hx AS (
+  SELECT doc_id, ({hash60_sql('shingle')} % {MERSENNE31}) AS x FROM sh
+)
+SELECT hx.doc_id AS id, seeds.seed AS seed,
+       min((seeds.a * hx.x + seeds.b) % {MERSENNE31}) AS minhash
+FROM hx CROSS JOIN seeds
+GROUP BY hx.doc_id, seeds.seed
+""")
+def minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=5, num_hashes=16)
+
+
+@register("dedup_minhash_lsh", f"""
+WITH {_SHINGLE_CTE},
+seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
+hx AS (
+  SELECT doc_id, ({hash60_sql('shingle')} % {MERSENNE31}) AS x FROM sh
+),
+sig AS (
+  SELECT hx.doc_id AS id, seeds.seed AS seed,
+         min((seeds.a * hx.x + seeds.b) % {MERSENNE31}) AS minhash
+  FROM hx CROSS JOIN seeds
+  GROUP BY hx.doc_id, seeds.seed
+),
+banded AS (
+  SELECT id, (seed // 4) AS band,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':'
+                        || CAST(minhash AS VARCHAR), ','
+                        ORDER BY CAST(seed AS VARCHAR) || ':'
+                        || CAST(minhash AS VARCHAR))) AS band_sig
+  FROM sig GROUP BY id, (seed // 4)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+)
+SELECT cand.id_a, cand.id_b, jac.jaccard
+FROM cand JOIN jac ON cand.id_a = jac.id_a AND cand.id_b = jac.id_b
+""")
+def minhash_lsh(spark, sf_dir):
+    out = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=5, num_hashes=16, bands=4, threshold=0.5)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def _bitpow_values(n_bits: int = 16) -> str:
+    return ", ".join(f"({j}, {2 ** j})" for j in range(n_bits))
+
+
+@register("dedup_simhash", f"""
+WITH words AS (
+  SELECT doc_id, w, count(*) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) > 0 GROUP BY doc_id, w
+),
+hashed AS (
+  SELECT doc_id, tf, {hash60_sql('w')} AS h FROM words
+),
+bits(bit, pw) AS (VALUES {_bitpow_values(16)}),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(tf * (CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END)) AS s
+  FROM hashed CROSS JOIN bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT)
+       AS simhash
+FROM per_bit GROUP BY doc_id
+""")
+def simhash_q(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("embedding_neardup", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
+""")
+def emb_neardup(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.35)
+
+
+@register("ann_topk_bruteforce", """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+  FROM v c JOIN q ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5)
+
+
+def _planes_sql_lists(n_planes: int = 4, dim: int = 64) -> list[str]:
+    return ["[" + ", ".join(repr(x) for x in plane) + "]"
+            for plane in hyperplanes(n_planes, dim)]
+
+
+def _lsh_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(e, {pl}) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p, pl in enumerate(_planes_sql_lists(n_planes, dim))
+    ]
+    return " + ".join(terms)
+
+
+@register("ann_lsh_bucketed", f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bkt AS (SELECT vec_id, e, CAST({_lsh_bucket_sql(4, 64)} AS BIGINT) AS bucket
+        FROM v),
+q AS (SELECT * FROM bkt WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+  FROM bkt c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_ann(emb, q, "vec_id", "embedding", k=5,
+                              n_planes=4, dim=64)
+
+
+@register("token_stats_documents", """
+SELECT doc_id AS id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       len(text) AS n_chars,
+       round(CASE WHEN len(trim(text)) = 0 THEN 0.0
+             ELSE len(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                  / len(string_split_regex(trim(text), '\\s+')) END, 6)
+             AS avg_token_len,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_bpe_ish
+FROM documents
+""")
+def token_stats_q(spark, sf_dir):
+    return textstats.token_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_STOPLIST_SQL = "[" + ", ".join(
+    f"'{w}'" for w in sorted({w for ws in STOPWORDS.values()
+                              for w in ws})) + "]"
+
+
+@register("quality_scores_documents", f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                   / len(text) ELSE 0.0 END AS punct,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> list_contains({_STOPLIST_SQL}, lower(x)))) END
+              AS stop_hits
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         least(n_tokens / 100.0, 1.0) AS len_score,
+         punct,
+         CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens
+              ELSE 0.0 END AS stop_frac
+  FROM s
+)
+SELECT doc_id AS id,
+       round(len_score, 6) AS len_score,
+       round(punct, 6) AS punct_ratio,
+       round(stop_frac, 6) AS stop_frac,
+       round(0.4 * len_score + 0.3 * least(stop_frac * 4, 1.0)
+             + 0.3 * (1.0 - least(punct * 5, 1.0)), 6) AS quality
+FROM m
+""")
+def quality_scores_q(spark, sf_dir):
+    return textstats.quality_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _langid_votes_sql() -> str:
+    parts = []
+    for lang in sorted(STOPWORDS):
+        lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        parts.append(
+            f"len(list_filter(toks, x -> list_contains({lst}, x)))"
+            f" AS v_{lang}")
+    return ", ".join(parts)
+
+
+@register("langid_heuristic_documents", f"""
+WITH t AS (
+  SELECT doc_id, lang AS lang_claim,
+         CASE WHEN len(trim(text)) = 0 THEN []
+              ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents
+),
+v AS (SELECT doc_id, lang_claim, {_langid_votes_sql()} FROM t),
+p AS (
+  SELECT doc_id, lang_claim,
+         greatest(v_de, v_en, v_es, v_fr) AS best,
+         CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+              WHEN v_de = greatest(v_de, v_en, v_es, v_fr) THEN 'de'
+              WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
+              WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM v
+)
+SELECT doc_id AS id, lang_claim, lang_pred,
+       lang_pred = lang_claim AS lang_match
+FROM p
+""")
+def langid_heuristic_q(spark, sf_dir):
+    out = textstats.langid_heuristic(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+    return out.select("id", F.col("lang_claim"), "lang_pred", "lang_match")
+
+
+@register("doc_fingerprint_documents", f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+)
+SELECT doc_id AS id, min({hash60_sql('g')}) AS fingerprint
+FROM grams GROUP BY doc_id
+""")
+def doc_fingerprint_q(spark, sf_dir):
+    return textstats.doc_fingerprint(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5)
+
+
+@register("pipeline_verdict_documents", f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
+                   * 1.0 / len(text) ELSE 0.0 END AS nonalnum_frac,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> list_contains({_STOPLIST_SQL}, lower(x)))) END
+              AS stop_hits,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_words = 0 THEN 'empty_text,' ELSE '' END
+         || CASE WHEN n_words > 0 AND n_words < 20 THEN 'min_words,'
+                 ELSE '' END
+         || CASE WHEN n_words > 0 AND n_sym * 1.0 / n_words > 0.1
+                 THEN 'symbol_to_word,' ELSE '' END
+         || CASE WHEN n_words > 0 AND stop_hits * 1.0 / n_words < 0.04
+                 THEN 'stopword_frac,' ELSE '' END
+         || CASE WHEN nonalnum_frac > 0.3 THEN 'nonalnum_frac,' ELSE '' END
+         || CASE WHEN is_dup THEN 'exact_dup,' ELSE '' END AS reasons_raw
+  FROM s
+)
+SELECT doc_id, rtrim(reasons_raw, ',') AS reasons_csv,
+       reasons_raw = '' AS keep
+FROM r
+""")
+def pipeline_verdict_q(spark, sf_dir):
+    """Flagship: the native-rule tier of the quality filter over the
+    driver's documents table (the model-UDF tier runs on the pages
+    fixture in tests/bench; this SQL-expressible tier is the
+    correctness-gate variant)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    trimmed = F.trim(t)
+    n_words = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    nonal = F.when(F.length(t) > 0,
+                   F.regexp_count(t, F.lit(r"[^A-Za-z0-9 \t\n\x0B\f\r]"))
+                   / F.length(t)).otherwise(F.lit(0.0))
+    toks_l = F.when(F.length(trimmed) == 0,
+                    F.array().cast("array<string>")) \
+              .otherwise(F.transform(F.split(trimmed, r"\s+"),
+                                     lambda x: F.lower(x)))
+    stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_hits = F.size(F.filter(toks_l, lambda x: x.isin(*stops)))
+    w = Window.partitionBy(F.md5("text"))
+    s = d.select(
+        "doc_id",
+        n_words.alias("n_words"), n_sym.alias("n_sym"),
+        nonal.alias("nonalnum_frac"), stop_hits.alias("stop_hits"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"))
+    reasons = F.concat(
+        F.when(F.col("n_words") == 0, F.lit("empty_text,")).otherwise(""),
+        F.when((F.col("n_words") > 0) & (F.col("n_words") < 20),
+               F.lit("min_words,")).otherwise(""),
+        F.when((F.col("n_words") > 0)
+               & (F.col("n_sym") / F.col("n_words") > 0.1),
+               F.lit("symbol_to_word,")).otherwise(""),
+        F.when((F.col("n_words") > 0)
+               & (F.col("stop_hits") / F.col("n_words") < 0.04),
+               F.lit("stopword_frac,")).otherwise(""),
+        F.when(F.col("nonalnum_frac") > 0.3,
+               F.lit("nonalnum_frac,")).otherwise(""),
+        F.when(F.col("is_dup"), F.lit("exact_dup,")).otherwise(""))
+    return s.select(
+        "doc_id",
+        F.rtrim(F.regexp_replace(reasons, ",$", "")).alias("reasons_csv"),
+        (reasons == "").alias("keep"))
