@@ -1,0 +1,113 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores     (default 32)
+  SDQF_BENCH_PAGES    pages-table rows   (default scaled from sf)
+
+Headline suite: the end-to-end quality-filter pipeline (north-star
+metric: docs/sec for keep/drop + scrub over the synthesized pages
+table) plus representative operator queries over the driver testdata.
+Each query is forced with a noop write (full computation, no driver
+collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "user_sessions",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "token_stats_documents",
+    "quality_scores_documents",
+    "pipeline_verdict_documents",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _pages_path(sf: float, n_pages: int) -> str:
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_n{n_pages}_seed42_parts")
+    if not os.path.exists(path):
+        from standard_data_quality_framework_spark.fixtures import (
+            write_pages_parquet)
+        write_pages_parquet(path, n=n_pages, seed=42, n_files=48)
+    return path
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_pages = int(os.environ.get("SDQF_BENCH_PAGES",
+                                 max(2000, int(600_000 * sf))))
+
+    from standard_data_quality_framework_spark.session import get_spark
+    from standard_data_quality_framework_spark.functions.udfs import make_udfs
+    from standard_data_quality_framework_spark.pipeline import (
+        run_quality_filter)
+    from standard_data_quality_framework_spark.plans.entry_queries import (
+        QUERIES)
+
+    pages_path = _pages_path(sf, n_pages)
+    spark = get_spark("sdqf_bench", cores=cpus, shuffle_partitions=cpus)
+    udfs = make_udfs(spark)  # model training/broadcast outside the timers
+
+    timings: dict[str, float] = {}
+
+    # north-star pipeline throughput
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    out = run_quality_filter(spark, pages, udfs=udfs)
+    _force(out.verdicts)
+    pipeline_sec = time.perf_counter() - t0
+    timings["pipeline_quality_filter"] = round(pipeline_sec, 3)
+    docs_per_sec = n_pages / pipeline_sec
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pages_rows": n_pages,
+        "docs_per_sec_pipeline": round(docs_per_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,7 +155,13 @@ def make_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
         rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def write_pages_parquet(path: str, n: int = 2000, seed: int = 42) -> str:
+def write_pages_parquet(path: str, n: int = 2000, seed: int = 42,
+                        n_files: int = 1) -> str:
+    """Write the pages fixture. ``n_files > 1`` writes a directory of
+    part files — the realistic shape of a crawl table, and what lets a
+    local-mode scan fan out across all cores without a repartition."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -167,6 +173,19 @@ def write_pages_parquet(path: str, n: int = 2000, seed: int = 42) -> str:
         pa.field("text", pa.string()),
         pa.field("lang", pa.string()),
     ])
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
-                                        preserve_index=False), path)
+
+    def _write(frame, target):
+        pq.write_table(pa.Table.from_pandas(frame, schema=schema,
+                                            preserve_index=False), target,
+                       row_group_size=1024)
+
+    if n_files <= 1:
+        _write(pdf, path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * step:(i + 1) * step]
+        if len(chunk):
+            _write(chunk, os.path.join(path, f"part-{i:04d}.parquet"))
     return path

@@ -20,7 +20,8 @@ import math
 import re
 from collections import Counter
 
-from ..config import RULES, SCRUB_RULES, ALL_STOPWORDS, TOXICITY_WORDS
+from ..config import (RULES, SCRUB_RULES, STOPWORD_PATTERN,  # noqa: F401
+                      TOXICITY_WORDS)
 
 # ---------------------------------------------------------------------------
 # HTML → text extraction (deterministic, regex-based)
@@ -65,8 +66,11 @@ def extract_text(html_bytes: bytes | None) -> str:
 # is asserted by tests. Keep ASCII-whitespace semantics (Java \s).
 
 _RE_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_RE_TOKEN = re.compile(r"[^ \t\n\x0b\f\r]+")
+_RE_WS_CHAR = re.compile(r"[ \t\n\x0b\f\r]")
 _RE_SYMBOL = re.compile(r"#|\.\.\.")
 _RE_NONALNUM = re.compile(r"[^A-Za-z0-9 \t\n\x0b\f\r]")
+_RE_STOP = re.compile(STOPWORD_PATTERN)
 
 
 def tokenize(text: str) -> list[str]:
@@ -75,16 +79,19 @@ def tokenize(text: str) -> list[str]:
 
 
 def native_signals(text: str) -> dict:
-    """Python mirror of the native Spark signal columns."""
-    toks = tokenize(text)
-    n_words = len(toks)
+    """Python mirror of the native Spark signal columns.
+
+    Everything is a regex COUNT over the raw text — the Spark side is
+    the same six regexp_count/extract_all expressions (pipeline.py),
+    with no token-array materialization on either side.
+    """
+    n_words = len(_RE_TOKEN.findall(text))
     n_chars = len(text)
-    total_tok_chars = sum(len(t) for t in toks)
-    mean_wl = (total_tok_chars / n_words) if n_words else 0.0
+    tok_chars = n_chars - len(_RE_WS_CHAR.findall(text))
+    mean_wl = (tok_chars / n_words) if n_words else 0.0
     n_sym = len(_RE_SYMBOL.findall(text))
     sym_ratio = (n_sym / n_words) if n_words else 0.0
-    lower = [t.lower() for t in toks]
-    stop_hits = [t for t in lower if t in _STOPSET]
+    stop_hits = _RE_STOP.findall(text.lower())
     stop_frac = (len(stop_hits) / n_words) if n_words else 0.0
     distinct_stops = len(set(stop_hits))
     n_nonalnum = len(_RE_NONALNUM.findall(text))
@@ -98,9 +105,6 @@ def native_signals(text: str) -> dict:
         "distinct_stopwords": distinct_stops,
         "nonalnum_frac": nonalnum_frac,
     }
-
-
-_STOPSET = frozenset(ALL_STOPWORDS)
 
 
 # ---------------------------------------------------------------------------

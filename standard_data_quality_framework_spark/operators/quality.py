@@ -199,3 +199,91 @@ def metadata_granularity(df: DataFrame, meta_cols: list[str],
 def with_rating(scored: DataFrame, score_col: str = "score") -> DataFrame:
     """Attach the reference bucket rating (rating.py:4-27)."""
     return scored.withColumn("rating", bucket_rating(F.col(score_col)))
+
+
+def subgroup_diversity(df: DataFrame, group_col: str,
+                       status_col: str) -> DataFrame:
+    """A6 (UC3): a group "passes" iff it contains EVERY observed status
+    value; score = passing groups / total groups.
+
+    Reference: uc3_timeseries_quality_checks.py:4-122 (age/gender
+    subgroup diversity). Output: one row (score, n_groups, n_passing).
+    """
+    total_statuses = df.select(
+        F.count_distinct(F.col(status_col)).alias("k_all"))
+    per_group = (df.groupBy(group_col)
+                 .agg(F.count_distinct(F.col(status_col)).alias("k_g")))
+    joined = per_group.crossJoin(total_statuses)
+    agg = joined.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("k_g") == F.col("k_all"), 1))
+        .alias("n_passing"))
+    return agg.select(
+        F.round(F.col("n_passing") / F.col("n_groups"), 6).alias("score"),
+        "n_groups", "n_passing")
+
+
+def grouped_ratio_mean(df: DataFrame, group_col: str, flag) -> DataFrame:
+    """A13 (UC1): per-group ratio of flagged rows, then the MEAN of the
+    per-group ratios (≠ the global ratio when groups are unbalanced).
+
+    Reference: uc1_image_quality_checks.py:428-501 (per-patient
+    missing-pixel ratio averaged over patients; the global variant
+    A14, uc1:662-726, is the plain agg). Output: one row
+    (mean_group_ratio, global_ratio, n_groups)."""
+    per = (df.groupBy(group_col)
+           .agg((F.count(F.when(flag, 1)) / F.count("*")).alias("ratio"),
+                F.count(F.when(flag, 1)).alias("n_flag"),
+                F.count("*").alias("n")))
+    return per.agg(
+        F.round(F.avg("ratio"), 6).alias("mean_group_ratio"),
+        F.round(F.sum("n_flag") / F.sum("n"), 6).alias("global_ratio"),
+        F.count("*").alias("n_groups"))
+
+
+def modal_consistency(df: DataFrame, value_col: str) -> DataFrame:
+    """A15 (UC1 channel consistency): find the modal value of value_col,
+    score = rows holding the modal value / rows.
+
+    Reference: uc1_image_quality_checks.py:504-586 (mode at 556-563).
+    Output: one row (score, modal_value, n_rows). Ties break on the
+    smaller value for determinism."""
+    counts = (df.groupBy(F.col(value_col).alias("modal_value"))
+              .agg(F.count("*").alias("n")))
+    totals = counts.agg(F.sum("n").alias("n_rows"))
+    mode = (counts.orderBy(F.desc("n"), F.asc("modal_value")).limit(1))
+    return (mode.crossJoin(totals)
+            .select(F.round(F.col("n") / F.col("n_rows"), 6).alias("score"),
+                    "modal_value",
+                    F.col("n_rows").cast("long").alias("n_rows")))
+
+
+def identical_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A18: detect pairs of columns with identical value vectors in
+    O(k) via order-insensitive fingerprints (sum of 60-bit hashes of
+    the values + count) instead of the reference's O(k²) pairwise
+    comparison (uc3_timeseries_quality_checks.py:696-699, 741-744).
+
+    Output: (col_a, col_b) pairs whose fingerprints match.
+    NOTE: the fingerprint is multiset-based (order-insensitive); for
+    positional equality add a row-index salt upstream."""
+    from ..functions.hashing import MERSENNE31, hash60
+    aggs = []
+    for c in cols:
+        # mod the 60-bit hash by a prime before summing so the sum
+        # stays within int64 for up to ~2^32 rows (cross-engine exact)
+        aggs.append(F.sum(F.pmod(hash60(F.col(c).cast("string")),
+                                 F.lit(MERSENNE31))).alias(f"fp_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
+    row = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pairs.append(row.select(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                ((F.col(f"fp_{a}") == F.col(f"fp_{b}"))
+                 & (F.col(f"n_{a}") == F.col(f"n_{b}"))).alias("identical")))
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("identical")).select("col_a", "col_b")

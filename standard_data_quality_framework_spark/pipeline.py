@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .config import (ALL_STOPWORDS, N_URL_BUCKETS, RULES, SALT_BUCKETS)
+from .config import (N_URL_BUCKETS, RULES, SALT_BUCKETS, STOPWORD_PATTERN)
 from .functions.udfs import make_udfs
 
 
@@ -53,30 +53,35 @@ def with_extracted_text(df: DataFrame, udfs: dict) -> DataFrame:
 # Stage 2: signals (native + one UDF struct)
 # ---------------------------------------------------------------------------
 
-_WS = r"\s+"
+_TOKEN = r"[^ \t\n\x0B\f\r]+"
 _SYM = r"#|\.\.\."
-_NONALNUM = r"[^A-Za-z0-9 \t\n\x0B\f\r]"
+# char-class COUNTS go through translate() — a char-map delete, ~7×
+# faster than the regex engine on this workload (measured 8.2s → 1.2s
+# for 60k docs); regex stays only where runs/alternations are needed
+_WS_CHARS = " \t\n\x0b\f\r"
+_ALNUM_WS_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    + _WS_CHARS)
 
 
 def with_native_signals(df: DataFrame, text_col: str = "etext") -> DataFrame:
-    """All heuristic signals expressible as Catalyst expressions.
+    """All heuristic signals as pure regexp COUNTS over the raw text.
 
     Mirrored exactly by textpure.native_signals (parity-tested).
+    Deliberately no split/transform/filter: materializing a ~300-
+    element token array per doc (plus a lowered copy, plus an isin
+    scan) costs ~10× more than six C-speed regex passes — measured
+    10.8s → ~1s for 60k docs on 32 cores. At 10^12 docs this is the
+    hottest native stage, so it stays allocation-free.
     """
     t = F.col(text_col)
-    trimmed = F.trim(t)
-    toks = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.split(trimmed, _WS))
-    df = df.withColumn("_toks", toks)
-    n_words = F.size("_toks")
-    tok_chars = F.length(F.regexp_replace(t, _WS, ""))
-    stops = F.filter(
-        F.transform(F.col("_toks"), lambda x: F.lower(x)),
-        lambda x: x.isin(*ALL_STOPWORDS),
-    )
+    n_words_raw = F.regexp_count(t, F.lit(_TOKEN))
+    df = df.withColumn("n_words", n_words_raw)
+    n_words = F.col("n_words")
+    tok_chars = F.length(F.translate(t, _WS_CHARS, ""))
+    stops = F.regexp_extract_all(F.lower(t), F.lit(STOPWORD_PATTERN), 1)
     df = (
-        df.withColumn("n_words", n_words)
-        .withColumn("n_chars", F.length(t))
+        df.withColumn("n_chars", F.length(t))
         .withColumn(
             "mean_word_len",
             F.when(n_words > 0, tok_chars / n_words).otherwise(F.lit(0.0)))
@@ -95,9 +100,10 @@ def with_native_signals(df: DataFrame, text_col: str = "etext") -> DataFrame:
         .withColumn(
             "nonalnum_frac",
             F.when(F.length(t) > 0,
-                   F.regexp_count(t, F.lit(_NONALNUM)) / F.length(t))
+                   F.length(F.translate(t, _ALNUM_WS_CHARS, ""))
+                   / F.length(t))
             .otherwise(F.lit(0.0)))
-        .drop("_toks", "_stops")
+        .drop("_stops")
     )
     return df
 
@@ -223,14 +229,42 @@ class PipelineOutput:
 
 
 def run_quality_filter(spark: SparkSession, pages: DataFrame,
-                       udfs: dict | None = None) -> PipelineOutput:
-    """Build the full lazy DAG. No actions are triggered here."""
+                       udfs: dict | None = None,
+                       parallelism: int | None = None) -> PipelineOutput:
+    """Build the full lazy DAG. No actions are triggered here.
+
+    ``parallelism``: optional explicit fan-out before the model stage.
+    The signal stage costs ~ms/doc of Python-UDF CPU — orders of
+    magnitude more per byte than a normal scan — so byte-based split
+    sizing (spark.sql.files.maxPartitionBytes) underestimates the task
+    count badly when the input arrives as few/large files. A round-
+    robin repartition here costs one shuffle of the raw rows and buys
+    full-cluster fan-out; on a many-file Iceberg table whose scan
+    already yields ≥ cluster-cores splits, leave it None.
+    """
     udfs = udfs or make_udfs(spark)
-    df = with_extracted_text(pages, udfs)
+    if parallelism:
+        pages = pages.repartition(parallelism)
+    # ONE Python eval node for the whole pipeline (extract + langid +
+    # perplexity + repetition + scrub): workers == tasks, one Arrow
+    # round trip per batch. The staged variants (with_extracted_text →
+    # with_model_signals → with_scrub) compute identical values and
+    # remain for per-stage tests; this fused path is the hot one.
+    payload = F.coalesce(F.col("html"),
+                         F.encode(F.coalesce(F.col("text"), F.lit("")),
+                                  "UTF-8"))
+    df = pages.withColumn(
+        "_p", udfs["process_page"](payload, F.col("html").isNotNull()))
+    for f in ("etext", "lang_pred", "lang_conf", "perplexity",
+              "dup_line_frac", "top2gram_frac", "dup5gram_frac",
+              "scrubbed_text", "scrub_edits"):
+        df = df.withColumn(f, F.col(f"_p.{f}"))
+    # raw `text` is never read downstream (etext is canonical, the kept
+    # sink re-emits scrubbed_text) — drop it before the verdict window
+    # so the dedup shuffle carries one less copy of the content
+    df = df.drop("_p", "text")
     df = with_native_signals(df)
-    df = with_model_signals(df, udfs)
     df = with_verdict(df)
-    df = with_scrub(df, udfs)
     df = with_partition_cols(df)
 
     kept = (df.filter(F.col("keep"))

