@@ -1,0 +1,74 @@
+"""Per-group ordered operators (grouped-map pandas) + join patterns.
+
+  grouped_series_fingerprint — S6/W1/A11: per group, sort the series
+      deterministically and fingerprint the ordered value pattern
+      (the reference sorts DICOM slices per patient, utils.py:93-102,
+      and fingerprints duplicate time-series patterns across patients,
+      uc3_timeseries_quality_checks.py:971-1070). applyInPandas gives
+      per-group imperative control; the md5-of-joined-values
+      fingerprint is cross-engine checkable.
+
+  fullouter_pairing — J3: full-outer join of two per-key timestamp
+      series; a timestamp missing on either side counts as a missing
+      point (uc3:889-941 enteral vs parenteral nutrition pairing).
+
+  semi_join_coverage — J1/J4: fraction of left keys present in the
+      right side, via left-semi join (uc1:106-117, app.py:899-907).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_series_fingerprint(df: DataFrame, group_col: str,
+                               order_cols: list[str],
+                               value_col: str) -> DataFrame:
+    """(group, n_points, fingerprint) — md5 of the order-assembled
+    value string. Grouped-map pandas UDF: the shuffle key is the group
+    id (uniform), each group sorted in a single Arrow batch."""
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        joined = ",".join(str(v) for v in pdf[value_col])
+        return pd.DataFrame({
+            "group": [pdf[group_col].iloc[0]],
+            "n_points": [len(pdf)],
+            "fingerprint": [hashlib.md5(joined.encode()).hexdigest()],
+        })
+
+    gtype = dict(df.dtypes)[group_col]
+    return (df.groupBy(group_col)
+            .applyInPandas(fp, schema=f"group {gtype}, n_points long, "
+                                      f"fingerprint string"))
+
+
+def fullouter_pairing(left: DataFrame, right: DataFrame,
+                      keys: list[str]) -> DataFrame:
+    """Full-outer pairing: (…keys, in_left, in_right). Missing side
+    rows ARE the signal — downstream counts them as missing points."""
+    l = left.select(*keys).distinct().withColumn("_l", F.lit(1))
+    r = right.select(*keys).distinct().withColumn("_r", F.lit(1))
+    out = l.join(r, keys, "full_outer")
+    return out.select(*keys,
+                      F.col("_l").isNotNull().alias("in_left"),
+                      F.col("_r").isNotNull().alias("in_right"))
+
+
+def semi_join_coverage(left: DataFrame, right: DataFrame, left_key: str,
+                       right_key: str) -> DataFrame:
+    """One row: (score, n_left, n_covered) — left keys with ≥1 match.
+
+    Broadcast-friendly left-semi; at scale Catalyst picks broadcast
+    when the distinct right side fits, shuffled-hash otherwise."""
+    lk = left.select(F.col(left_key).alias("k")).distinct()
+    rk = right.select(F.col(right_key).alias("k")).distinct()
+    covered = lk.join(rk, "k", "left_semi")
+    agg = lk.agg(F.count("*").alias("n_left")).crossJoin(
+        covered.agg(F.count("*").alias("n_covered")))
+    return agg.select(
+        F.round(F.col("n_covered") / F.col("n_left"), 6).alias("score"),
+        "n_left", "n_covered")

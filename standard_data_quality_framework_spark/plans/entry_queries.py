@@ -1052,3 +1052,177 @@ def identical_columns_documents(spark, sf_dir):
         F.col("n_chars").alias("n_chars_copy"), "lang")
     return quality.identical_columns(
         d, ["doc_id", "n_chars", "n_chars_copy", "lang"])
+
+
+# ===========================================================================
+# 5. Join patterns, grouped-map, salted agg, qualitative calculus
+# ===========================================================================
+
+@register("series_fingerprint_users", """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT user_id AS "group", count(*) AS n_points,
+       md5(string_agg(CAST(v_cents AS VARCHAR), ',' ORDER BY ts, event_id))
+         AS fingerprint
+FROM pts GROUP BY user_id
+""")
+def series_fingerprint_users(spark, sf_dir):
+    """S6/W1/A11: per-user deterministic series assembly + pattern
+    fingerprint via grouped-map pandas (applyInPandas)."""
+    from ..operators.grouped import grouped_series_fingerprint
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("v_cents")))
+    return grouped_series_fingerprint(
+        ev, "user_id", ["ts", "event_id"], "v_cents")
+
+
+@register("fullouter_pairing_events", """
+WITH l AS (SELECT DISTINCT user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT DISTINCT user_id, ts FROM events
+      WHERE event_type = 'view'),
+p AS (
+  SELECT coalesce(l.user_id, r.user_id) AS user_id,
+         l.user_id IS NOT NULL AS in_left,
+         r.user_id IS NOT NULL AS in_right
+  FROM l FULL OUTER JOIN r
+    ON l.user_id = r.user_id AND l.ts = r.ts
+)
+SELECT user_id,
+       count(CASE WHEN in_left AND in_right THEN 1 END) AS n_both,
+       count(CASE WHEN in_left AND NOT in_right THEN 1 END) AS n_left_only,
+       count(CASE WHEN in_right AND NOT in_left THEN 1 END) AS n_right_only
+FROM p GROUP BY user_id
+""")
+def fullouter_pairing_events(spark, sf_dir):
+    """J3: full-outer timestamp pairing (uc3:889-941 shape)."""
+    from ..operators.grouped import fullouter_pairing
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    r = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    p = fullouter_pairing(l, r, ["user_id", "ts"])
+    return (p.groupBy("user_id").agg(
+        F.count(F.when(F.col("in_left") & F.col("in_right"), 1))
+        .alias("n_both"),
+        F.count(F.when(F.col("in_left") & ~F.col("in_right"), 1))
+        .alias("n_left_only"),
+        F.count(F.when(F.col("in_right") & ~F.col("in_left"), 1))
+        .alias("n_right_only")))
+
+
+@register("semi_join_coverage_customers", """
+WITH lk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+rk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+cov AS (SELECT count(*) AS n_covered FROM lk WHERE k IN (SELECT k FROM rk)),
+tot AS (SELECT count(*) AS n_left FROM lk)
+SELECT round(cov.n_covered * 1.0 / tot.n_left, 6) AS score,
+       tot.n_left, cov.n_covered
+FROM cov, tot
+""")
+def semi_join_coverage_customers(spark, sf_dir):
+    """J1/J4: membership coverage via left-semi join."""
+    from ..operators.grouped import semi_join_coverage
+    return semi_join_coverage(_t(spark, sf_dir, "customer"),
+                              _t(spark, sf_dir, "orders"),
+                              "c_custkey", "o_custkey")
+
+
+@register("salted_source_counts", """
+SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+""")
+def salted_source_counts(spark, sf_dir):
+    """Two-phase salted aggregation (skew pattern): phase 1 groups on
+    (source, salt) fanning hot keys across SALT_BUCKETS reducers,
+    phase 2 combines partials. Result identical to a plain groupBy —
+    which is exactly what the oracle asserts."""
+    from ..config import SALT_BUCKETS
+    d = _t(spark, sf_dir, "documents")
+    p1 = (d.select("source",
+                   F.pmod(F.xxhash64("doc_id"), F.lit(SALT_BUCKETS))
+                   .alias("_salt"))
+          .groupBy("source", "_salt")
+          .agg(F.count("*").alias("_partial")))
+    return p1.groupBy("source").agg(F.sum("_partial").alias("n_docs"))
+
+
+@register("piecewise_hib_rating_by_source", """
+WITH r AS (
+  SELECT source,
+         count(CASE WHEN n_chars >= 150 THEN 1 END) * 1.0 / count(*)
+           AS ratio
+  FROM documents GROUP BY source
+),
+rr AS (
+  SELECT source, ratio,
+         least(greatest(CASE WHEN ratio <= 0.2 THEN 1.0
+                             WHEN ratio >= 0.8 THEN 5.0
+                             ELSE 1.0 + (ratio - 0.2) / 0.15 END,
+                        1.0), 5.0) AS rating
+  FROM r
+)
+SELECT source, round(ratio, 6) AS ratio, round(rating, 6) AS rating,
+       round((rating - 1.0) / 4.0, 6) AS norm_score
+FROM rr
+""")
+def piecewise_hib_by_source(spark, sf_dir):
+    """UC1 higher-is-better piecewise rating (uc1:410-419)."""
+    from ..functions.rating import piecewise_rating_higher_better
+    d = _t(spark, sf_dir, "documents")
+    r = (d.groupBy("source")
+         .agg((F.count(F.when(F.col("n_chars") >= 150, 1))
+               / F.count("*")).alias("ratio")))
+    rated = r.withColumn(
+        "rating_raw", piecewise_rating_higher_better(F.col("ratio")))
+    return rated.select(
+        "source", F.round("ratio", 6).alias("ratio"),
+        F.round("rating_raw", 6).alias("rating"),
+        F.round((F.col("rating_raw") - 1.0) / 4.0, 6).alias("norm_score"))
+
+
+@register("qualitative_combined_rating", """
+WITH quant AS (
+  SELECT avg(CASE
+    WHEN least(greatest(s, 0.0), 1.0) <= 0.2 THEN 1
+    WHEN least(greatest(s, 0.0), 1.0) <= 0.4 THEN 2
+    WHEN least(greatest(s, 0.0), 1.0) <= 0.6 THEN 3
+    WHEN least(greatest(s, 0.0), 1.0) <= 0.8 THEN 4
+    ELSE 5 END * 1.0) AS quant_rating
+  FROM (
+    SELECT round(count(DISTINCT text) * 1.0 / count(*), 6) AS s
+    FROM documents
+    UNION ALL
+    SELECT round(1.0 - (count(CASE WHEN text IS NULL OR text = '' THEN 1 END)
+                + count(CASE WHEN lang IS NULL OR lang = '' THEN 1 END))
+               / (count(*) * 2.0), 6) FROM documents
+  )
+),
+qual AS (SELECT (3 + 4 + 2 + 5 + 3 + 4 + 3) / 7.0 AS qual_rating)
+SELECT round(quant.quant_rating, 6) AS quant_rating,
+       round(qual.qual_rating, 6) AS qual_rating,
+       round((quant.quant_rating + qual.qual_rating) / 2.0, 6)
+         AS overall_rating
+FROM quant, qual
+""")
+def qualitative_combined(spark, sf_dir):
+    """Qualitative questionnaire track: fixed answers normalized and
+    averaged with the quantitative overall (app.py:496, 1799-1801)."""
+    from ..config import DIMENSIONS
+    from ..qualitative import combined_overall, qualitative_frame
+    d = _t(spark, sf_dir, "documents")
+    uniq = quality.duplicate_rows(d, ["text"]).select(
+        F.lit("relational_consistency").alias("dimension"), "score")
+    comp = quality.completeness(d, ["text", "lang"]).select(
+        F.lit("completeness").alias("dimension"), "score")
+    quant = uniq.unionByName(comp).withColumn(
+        "rating", bucket_rating(F.col("score")))
+    answers = dict(zip(DIMENSIONS, [3, 4, 2, 5, 3, 4, 3]))
+    qual = qualitative_frame(spark, answers)
+    out = combined_overall(quant, qual)
+    return out.select(F.round("quant_rating", 6).alias("quant_rating"),
+                      F.round("qual_rating", 6).alias("qual_rating"),
+                      "overall_rating")

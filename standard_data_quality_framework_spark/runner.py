@@ -62,8 +62,17 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
                   .drop("warc_date", "url_bucket"))
 
     out = run_quality_filter(spark, pages_todo)
+    # cheap run-level counters ride along with the first action via
+    # observe() (A19 summary-stats pattern — no extra pass)
+    from pyspark.sql import Observation
+    obs = Observation(f"qf_{run_id}")
+    observed = out.verdicts.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_scanned"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("docs_kept"),
+        F.sum(F.col("scrub_edits").cast("long")).alias("scrub_edits"))
     # one materialization of the verdict frame feeds all four sinks
-    verdicts = out.verdicts.persist()
+    verdicts = observed.persist()
     try:
         kept = (verdicts.filter(F.col("keep"))
                 .select("url", "warc_ts", "html",
@@ -86,7 +95,9 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
 
         n_in = verdicts.count()
         n_kept = kept.count()
+        counters = dict(obs.get)
     finally:
         verdicts.unpersist()
     return {"run_id": run_id, "dates_processed": n_dates,
-            "rows_in": n_in, "rows_kept": n_kept, "resumed": False}
+            "rows_in": n_in, "rows_kept": n_kept, "resumed": False,
+            "observed": counters}

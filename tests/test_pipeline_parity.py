@@ -84,3 +84,18 @@ def test_f1_and_class_mix(result, gold):
     # fixture sanity: both classes well-represented
     kept_frac = gold["keep"].mean()
     assert 0.2 < kept_frac < 0.9, kept_frac
+
+
+def test_determinism_across_parallelism(spark, pages_df):
+    """SURVEY §5.5: identical verdicts under different partitioning."""
+    a = run_quality_filter(spark, pages_df, parallelism=3).verdicts \
+        .select("url", "keep", "drop_reasons", "scrubbed_text") \
+        .toPandas().sort_values("url").reset_index(drop=True)
+    b = run_quality_filter(spark, pages_df, parallelism=13).verdicts \
+        .select("url", "keep", "drop_reasons", "scrubbed_text") \
+        .toPandas().sort_values("url").reset_index(drop=True)
+    assert (a["url"] == b["url"]).all()
+    assert (a["keep"] == b["keep"]).all()
+    assert (a["scrubbed_text"] == b["scrubbed_text"]).all()
+    assert all(list(x) == list(y)
+               for x, y in zip(a["drop_reasons"], b["drop_reasons"]))
