@@ -100,11 +100,18 @@ def dimension_metrics(verdicts: DataFrame,
 
     rows = []
     for dim in DIMENSIONS:
+        # explanations are part of the reference's check contract —
+        # every (score, explanation) tuple, e.g. quality_checks.py:54-57
+        expl = F.format_string(
+            "%s score %.4f over %d docs (%d dropped)",
+            F.lit(dim), F.col(dim).cast("double"),
+            F.col("docs_scanned"), F.col("docs_dropped"))
         rows.append(wide.select(
             "partition_key", F.lit(dim).alias("dimension"),
             F.col(dim).cast("double").alias("score"),
             bucket_rating(F.col(dim)).alias("rating"),
-            "docs_scanned", "docs_dropped", "scrub_edit_count"))
+            "docs_scanned", "docs_dropped", "scrub_edit_count",
+            expl.alias("explanation")))
     long = rows[0]
     for r in rows[1:]:
         long = long.unionByName(r)
@@ -118,7 +125,10 @@ def dimension_metrics(verdicts: DataFrame,
                .select("partition_key", F.lit("overall").alias("dimension"),
                        "score",
                        F.round("_avg_r").cast("int").alias("rating"),
-                       "docs_scanned", "docs_dropped", "scrub_edit_count"))
+                       "docs_scanned", "docs_dropped", "scrub_edit_count",
+                       F.format_string(
+                           "overall: mean of %d dimension ratings",
+                           F.lit(len(DIMENSIONS))).alias("explanation")))
     return long.unionByName(overall)
 
 
