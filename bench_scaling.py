@@ -31,6 +31,9 @@ import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 COOLDOWN_S = int(os.environ.get("SDQF_BENCH_COOLDOWN", "45"))
+CORES_LO = int(os.environ.get("SDQF_CORES_LO", "8"))
+CORES_HI = int(os.environ.get("SDQF_CORES_HI", "32"))
+ROUNDS = int(os.environ.get("SDQF_BENCH_ROUNDS", "3"))
 
 _CHILD = r"""
 import json, os, sys, time
@@ -100,17 +103,17 @@ def _run(code: str) -> dict:
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
-    rounds = 1 if "--quick" in sys.argv else 3
+    rounds = 1 if "--quick" in sys.argv else ROUNDS
     from bench import _pages_path
     pages = _pages_path(0.1, n_pages)
 
     # hardware calibration FIRST (coolest state = fairest ceiling)
-    burn32 = _run(_BURN.format(cores=32))
-    burn8 = _run(_BURN.format(cores=8))
+    burn32 = _run(_BURN.format(cores=CORES_HI))
+    burn8 = _run(_BURN.format(cores=CORES_LO))
     runs8, runs32 = [], []
     for _ in range(rounds):
-        runs32.append(_run(_CHILD.format(root=ROOT, cores=32, pages=pages)))
-        runs8.append(_run(_CHILD.format(root=ROOT, cores=8, pages=pages)))
+        runs32.append(_run(_CHILD.format(root=ROOT, cores=CORES_HI, pages=pages)))
+        runs8.append(_run(_CHILD.format(root=ROOT, cores=CORES_LO, pages=pages)))
 
     for r in runs8 + runs32:
         print(json.dumps({"sample": True, "cores": r["cores"],
@@ -126,13 +129,14 @@ def main() -> None:
     eff_vs_hw = speedup / hw_speedup if hw_speedup else float("nan")
     report = {
         "n_pages": n_pages,
-        "local8_docs_per_sec": round(r8["docs_per_sec"], 1),
-        "local32_docs_per_sec": round(r32["docs_per_sec"], 1),
-        "local8_sec": round(r8["sec"], 2),
-        "local32_sec": round(r32["sec"], 2),
-        "speedup_8_to_32": round(speedup, 3),
+        "cores_lo": CORES_LO, "cores_hi": CORES_HI,
+        "lo_docs_per_sec": round(r8["docs_per_sec"], 1),
+        "hi_docs_per_sec": round(r32["docs_per_sec"], 1),
+        "lo_sec": round(r8["sec"], 2),
+        "hi_sec": round(r32["sec"], 2),
+        "speedup_lo_to_hi": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "hw_sustained_speedup_8_to_32": round(hw_speedup, 3),
+        "hw_sustained_speedup": round(hw_speedup, 3),
         "efficiency_vs_hw_envelope": round(eff_vs_hw, 3),
     }
     print(json.dumps(report))
@@ -149,21 +153,21 @@ before every sample:
 
 | run | parallelism | input | docs/sec | sec | scaling efficiency vs local[8] |
 |---|---|---|---|---|---|
-| quality_filter | local[8]  | pages n={n_pages:,} (seed 42) | {report['local8_docs_per_sec']} | {report['local8_sec']} | 1.00 (base) |
-| quality_filter | local[32] | pages n={n_pages:,} (seed 42) | {report['local32_docs_per_sec']} | {report['local32_sec']} | {report['scaling_efficiency']} (target ≥ 0.8) |
+| quality_filter | local[8]  | pages n={n_pages:,} (seed 42) | {report['lo_docs_per_sec']} | {report['lo_sec']} | 1.00 (base) |
+| quality_filter | local[32] | pages n={n_pages:,} (seed 42) | {report['hi_docs_per_sec']} | {report['hi_sec']} | {report['scaling_efficiency']} (target ≥ 0.8) |
 
 ## Hardware envelope caveat (measured, reproducible)
 
 This sandbox VM frequency-throttles under sustained all-core load: a
 pure-CPU multiprocessing burn (no Spark, no I/O) measured under the
 same drain+cool-down protocol sustains only
-**{report['hw_sustained_speedup_8_to_32']}×** more total throughput at
+**{report['hw_sustained_speedup']}×** more total throughput at
 32 processes than at 8 — the box cannot exhibit 4× on ANY sustained
 CPU-bound workload. Relative to that measured hardware envelope, the
 quality-filter job achieves
 **{report['efficiency_vs_hw_envelope']}× of the achievable speedup**
-(job speedup {report['speedup_8_to_32']}× ÷ hardware ceiling
-{report['hw_sustained_speedup_8_to_32']}×). On a real multi-executor
+(job speedup {report['speedup_lo_to_hi']}× ÷ hardware ceiling
+{report['hw_sustained_speedup']}×). On a real multi-executor
 cluster (N → 4N machines, no shared thermal budget) the job's scaling
 path is shuffle-free until the verdict window and AQE-coalesced after
 it; nothing in the plan is driver-serial.
@@ -172,8 +176,10 @@ Reproduce: `python bench_scaling.py {n_pages}`. Per-query suite:
 `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py`.
 """
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_md = os.environ.get("SDQF_BENCH_MD", "")
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(md)
 
 
 if __name__ == "__main__":
