@@ -98,14 +98,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 5, num_hashes: int = 16) -> DataFrame:
+                       n: int = 5, num_hashes: int = 16,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(id, seed, minhash) — k permutation-min values per doc.
 
     One explode (shingle × seed) + one groupBy-min: partial aggregation
     handles the fan-out map-side, so the shuffle carries ≤ n·k rows.
+    Pass ``shingles`` to reuse an already-built (id, shingle) frame.
     """
     coeffs = minhash_coeffs(num_hashes)
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None \
+        else word_shingles(df, id_col, text_col, n)
     x = F.pmod(hash60(F.col("shingle")), F.lit(MERSENNE31))
     hashed = sh.select(
         "id",
@@ -129,7 +132,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     no skew), then exact shingle Jaccard filters false positives.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # build the shingle frame ONCE and persist: signatures, sizes and
+    # the candidate-verify join all read it (3× recompute otherwise)
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                             shingles=sh)
     banded = (sig.withColumn("band", (F.col("seed") / rows).cast("int"))
               .groupBy("id", "band")
               .agg(F.md5(F.concat_ws(
@@ -144,16 +151,38 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return (cand.join(exact, ["id_a", "id_b"])
-            .select("id_a", "id_b", "jaccard"))
+    # exact Jaccard on CANDIDATES ONLY — joining shingles through the
+    # candidate pair list keeps the verify cost O(candidates · shingles
+    # per doc); a global shingle self-join here would defeat the LSH.
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("_id_b"),
+                   F.col("shingle").alias("_shingle_b"))
+    inter = (cand.join(sa, "id_a")
+             .join(sb, (F.col("id_b") == F.col("_id_b"))
+                   & (F.col("shingle") == F.col("_shingle_b")))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_inter")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-N_SIMHASH_BITS = 16  # 16-bit fingerprint keeps the oracle SQL tractable
+# default 32 bits: the pair join buckets on fingerprint HALVES, and
+# 2^8 buckets (16-bit fingerprints) collide massively on same-domain
+# text (measured 698k candidate pairs on 5k docs); 2^16 buckets keep
+# candidates near-linear. The oracle-checked entry query pins 16 bits
+# (its SQL mirror enumerates bit positions).
+N_SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
@@ -198,16 +227,20 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     half = 2 ** (n_bits // 2)
     sig = (sig.withColumn("lo", F.pmod("simhash", F.lit(half)))
            .withColumn("hi", (F.col("simhash") / half).cast("long")))
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cand = (a.join(b, ((F.col("a.lo") == F.col("b.lo"))
-                       | (F.col("a.hi") == F.col("b.hi")))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
-            .distinct())
+    # an OR of two equi-conditions cannot hash-join (Spark would fall
+    # back to a nested-loop cartesian): run one equi-join PER band and
+    # union — each is a plain shuffle-hash join on a uniform key
+    def _band_join(key: str):
+        a = sig.alias("a")
+        b = sig.alias("b")
+        return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.col("a.simhash").alias("sh_a"),
+                        F.col("b.simhash").alias("sh_b")))
+
+    cand = _band_join("lo").unionByName(_band_join("hi")).distinct()
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ham = F.aggregate(
         F.sequence(F.lit(0), F.lit(n_bits - 1)),

@@ -678,7 +678,9 @@ SELECT doc_id AS id,
 FROM per_bit GROUP BY doc_id
 """)
 def simhash_q(spark, sf_dir):
-    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    # n_bits=16 pinned: the SQL oracle enumerates 16 bit positions
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                         n_bits=16)
 
 
 @register("embedding_neardup", """

@@ -65,7 +65,7 @@ def test_minhash_lsh_finds_exact_dup(spark, docs):
 
 
 def test_simhash_near_vs_far(spark, docs):
-    sig = dedup.simhash(docs, "doc_id", "text").toPandas() \
+    sig = dedup.simhash(docs, "doc_id", "text", n_bits=16).toPandas() \
         .set_index("id")["simhash"]
     def ham(a, b):
         return bin(int(a) ^ int(b)).count("1")
@@ -73,7 +73,7 @@ def test_simhash_near_vs_far(spark, docs):
     assert ham(sig[0], sig[2]) <= 6          # one word changed
     assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])  # unrelated farther
     pairs = dedup.simhash_pairs(docs, "doc_id", "text",
-                                max_hamming=2).toPandas()
+                                max_hamming=2, n_bits=16).toPandas()
     assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
 
 
