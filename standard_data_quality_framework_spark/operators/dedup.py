@@ -4,16 +4,20 @@ Five families, all Catalyst-native (no UDFs), all with exact SQL
 oracles via the md5-prefix hash (functions/hashing.py):
 
   exact        — content-hash groupBy, keep min-id               O(n)
-  ngram-jaccard— shingle self-join, exact Jaccard on candidates   O(shared shingles)
-  minhash-LSH  — k permutations → b bands → bucket join           O(n·k + collisions)
-  simhash      — 60-bit sign fingerprint, hamming pairs           O(n) + banded pairing
-  embedding    — cosine near-dup over array<float>                O(pairs in bucket)
+  ngram-jaccard— df-capped shingle join → exact verify           O(capped collisions)
+  minhash-LSH  — per-row signatures → b bands → bucket join      O(n·k + collisions)
+  simhash      — sign fingerprint, (max_hamming+1)-band pairing  O(n + collisions)
+  embedding    — cosine near-dup, sign-LSH bucketed              O(pairs in bucket)
 
 Scale notes (10^12 docs): every family shuffles on a *hash* key —
-uniform by construction, no skew. The Jaccard verify joins are
-candidate-limited (LSH band buckets), never all-pairs. MinHash
-signatures are one `groupBy(doc).agg(min per seed)` over the exploded
-(shingle × seed) frame — map-side partial min keeps the shuffle tiny.
+uniform by construction, no skew. Candidate generation is always
+bounded (LSH bands / df-capped shingles / LSH buckets), never
+all-pairs; exact verification runs on candidates only, via
+``array_intersect`` over per-doc shingle sets so the shingle frame is
+never self-joined. MinHash signatures are computed per-row with
+array lambdas (``transform`` + ``array_min``) — zero shuffles, no
+(shingle × seed) explode, nothing persisted (no cache leaks across a
+long-lived session).
 Recast of the reference's duplicate detection: exact-hash dedup
 (uc1_image_quality_checks.py:589-659 md5-of-bytes), duplicate-row
 ratio (quality_checks.py:245-275), O(k²)→O(k) fingerprinting
@@ -32,21 +36,32 @@ from ..functions.hashing import (MERSENNE31, hash60, minhash_coeffs)
 # shingling
 # ---------------------------------------------------------------------------
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 5) -> DataFrame:
-    """(id, shingle) — distinct word n-grams ('␠'-joined) per doc.
-
-    Native: split → sliding window via transform over index sequence.
-    """
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 5) -> DataFrame:
+    """(id, shingles: array<string>) — distinct word n-grams per doc,
+    computed row-local (no explode, no shuffle). The array is bounded
+    by the doc's own token count, so per-row memory tracks the text
+    size the row already carries."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    # the when() guard (not just a filter) matters: the optimizer may
+    # evaluate the projection below a pushed filter, and slice/sequence
+    # throw on rows with < n tokens
+    sets = (F.when(F.size(toks) >= n, F.array_distinct(grams))
+            .otherwise(F.array().cast("array<string>")))
     return (df
-            .filter(F.size(toks) >= n)
-            .select(F.col(id_col).alias("id"),
-                    F.explode(F.array_distinct(grams)).alias("shingle")))
+            .select(F.col(id_col).alias("id"), sets.alias("shingles"))
+            .filter(F.size("shingles") > 0))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 5) -> DataFrame:
+    """(id, shingle) — exploded long form of shingle_sets."""
+    return (shingle_sets(df, id_col, text_col, n)
+            .select("id", F.explode("shingles").alias("shingle")))
 
 
 # ---------------------------------------------------------------------------
@@ -64,62 +79,103 @@ def exact_duplicates(df: DataFrame, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# candidate verification (shared by jaccard / LSH)
+# ---------------------------------------------------------------------------
+
+def _verify_jaccard(cand: DataFrame, sets: DataFrame,
+                    set_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs only: attach each side's full
+    shingle set (two hash-joins on the uniform id key) and intersect
+    row-locally — the shingle frame is never self-joined."""
+    sa = sets.select(F.col("id").alias("id_a"),
+                     F.col(set_col).alias("_set_a"),
+                     F.size(set_col).alias("_n_a"))
+    sb = sets.select(F.col("id").alias("id_b"),
+                     F.col(set_col).alias("_set_b"),
+                     F.size(set_col).alias("_n_b"))
+    n_inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    (n_inter / (F.col("_n_a") + F.col("_n_b") - n_inter))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 5, threshold: float = 0.5) -> DataFrame:
-    """(id_a, id_b, jaccard) for pairs sharing ≥1 shingle and
-    Jaccard ≥ threshold. Exact on candidates; candidate generation is
-    the shingle self-join (LSH-bucket it at scale → minhash_lsh_pairs)."""
-    sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+                        n: int = 5, threshold: float = 0.5,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs sharing ≥1 shingle with document
+    frequency ≤ max_shingle_df, Jaccard ≥ threshold (over FULL sets).
+
+    The df-cap is the standard stop-shingle cut: one boilerplate
+    shingle shared by 1M docs would alone emit ~5·10^11 join rows, and
+    such shingles carry no near-dup signal. Candidates come from the
+    capped shingle equi-join; the Jaccard verify uses each doc's full
+    set (array_intersect on candidates only), so scores are exact —
+    only pairs whose overlap is *entirely* stop-shingles are skipped.
+    Pass max_shingle_df=None for the uncapped exact variant (small N).
+    """
+    ss = shingle_sets(df, id_col, text_col, n)
+    sh = ss.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = (sh.withColumn("_df", F.count("*").over(w))
+              .filter(F.col("_df") <= max_shingle_df).drop("_df"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
-             .agg(F.count("*").alias("n_inter")))
-    sa = sizes.select(F.col("id").alias("id_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"),
-                      F.col("n_sh").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    (F.col("n_inter")
-                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    return _verify_jaccard(cand, ss, "shingles", threshold)
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _hashed_sets(ss: DataFrame) -> DataFrame:
+    """(id, hset: array<long>) — 60-bit-hashed shingle set per doc."""
+    return ss.select(
+        "id",
+        F.transform("shingles",
+                    lambda s: F.pmod(hash60(s), F.lit(MERSENNE31)))
+        .alias("hset"))
+
+
+def _minhash_cols(num_hashes: int) -> list:
+    """k per-row minhash expressions over the `hset` array column."""
+    return [
+        F.array_min(F.transform(
+            F.col("hset"),
+            lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31))))
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 5, num_hashes: int = 16,
-                       shingles: DataFrame | None = None) -> DataFrame:
+                       n: int = 5, num_hashes: int = 16) -> DataFrame:
     """(id, seed, minhash) — k permutation-min values per doc.
 
-    One explode (shingle × seed) + one groupBy-min: partial aggregation
-    handles the fan-out map-side, so the shuffle carries ≤ n·k rows.
-    Pass ``shingles`` to reuse an already-built (id, shingle) frame.
-    """
-    coeffs = minhash_coeffs(num_hashes)
-    sh = shingles if shingles is not None \
-        else word_shingles(df, id_col, text_col, n)
-    x = F.pmod(hash60(F.col("shingle")), F.lit(MERSENNE31))
-    hashed = sh.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("seed"),
-                     F.pmod(F.lit(a) * x + F.lit(b),
-                            F.lit(MERSENNE31)).alias("h"))
-            for i, (a, b) in enumerate(coeffs)
-        ])).alias("sh"))
-    return (hashed.groupBy("id", F.col("sh.seed").alias("seed"))
-            .agg(F.min("sh.h").alias("minhash")))
+    Computed entirely row-local: hash the doc's shingle set once, then
+    each permutation is an `array_min(transform(...))` — no explode,
+    no groupBy, zero shuffles (the round-1 design exploded
+    (shingle × seed) through a groupBy-min shuffle; this one ships
+    only k longs per doc and scans the text once)."""
+    hs = _hashed_sets(shingle_sets(df, id_col, text_col, n))
+    sig = hs.select("id", *_minhash_cols(num_hashes))
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("seed"), F.col(f"mh_{i}").alias("minhash"))
+        for i in range(num_hashes)])
+    return (sig.select("id", F.explode(pairs).alias("s"))
+            .select("id", F.col("s.seed").alias("seed"),
+                    F.col("s.minhash").alias("minhash")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -128,21 +184,33 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """Banded-LSH candidate pairs verified with exact Jaccard.
 
     bands × rows = num_hashes; docs agreeing on ALL rows of any band
-    become candidates (join on the band-signature hash — uniform key,
-    no skew), then exact shingle Jaccard filters false positives.
+    become candidates (equi-join on the band-signature hash — uniform
+    key, no skew), then exact Jaccard over the full hashed shingle
+    sets (array_intersect, candidates only) filters false positives.
+
+    Plan shape: signatures + band sigs + the hashed set are all
+    row-local projections off the scan; the only shuffles are the
+    candidate equi-join and the two verify joins on id. Nothing is
+    persisted — no cached partitions accumulate across calls.
     """
     rows = num_hashes // bands
-    # build the shingle frame ONCE and persist: signatures, sizes and
-    # the candidate-verify join all read it (3× recompute otherwise)
-    sh = word_shingles(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
-                             shingles=sh)
-    banded = (sig.withColumn("band", (F.col("seed") / rows).cast("int"))
-              .groupBy("id", "band")
-              .agg(F.md5(F.concat_ws(
-                  ",", F.sort_array(F.collect_list(
-                      F.concat_ws(":", F.col("seed"), F.col("minhash"))))))
-                  .alias("band_sig")))
+    ss = shingle_sets(df, id_col, text_col, n)
+    docs = _hashed_sets(ss)
+    docs = docs.select("id", "hset", *_minhash_cols(num_hashes))
+    # band signature = md5 of the SORTED "seed:minhash" strings — the
+    # same bytes the SQL oracle builds with string_agg(... ORDER BY)
+    band_structs = []
+    for bi in range(bands):
+        parts = F.array(*[
+            F.concat_ws(":", F.lit(str(i)), F.col(f"mh_{i}").cast("string"))
+            for i in range(bi * rows, (bi + 1) * rows)])
+        band_structs.append(F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", F.sort_array(parts))).alias("band_sig")))
+    banded = (docs.select("id", F.explode(F.array(*band_structs))
+                          .alias("bb"))
+              .select("id", F.col("bb.band").alias("band"),
+                      F.col("bb.band_sig").alias("band_sig")))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -151,37 +219,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
-    # exact Jaccard on CANDIDATES ONLY — joining shingles through the
-    # candidate pair list keeps the verify cost O(candidates · shingles
-    # per doc); a global shingle self-join here would defeat the LSH.
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("id").alias("_id_b"),
-                   F.col("shingle").alias("_shingle_b"))
-    inter = (cand.join(sa, "id_a")
-             .join(sb, (F.col("id_b") == F.col("_id_b"))
-                   & (F.col("shingle") == F.col("_shingle_b")))
-             .groupBy("id_a", "id_b")
-             .agg(F.count("*").alias("n_inter")))
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (inter.join(na, "id_a").join(nb, "id_b")
-            .select("id_a", "id_b",
-                    (F.col("n_inter")
-                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return _verify_jaccard(cand, docs.select("id", "hset"), "hset",
+                           threshold)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-# default 32 bits: the pair join buckets on fingerprint HALVES, and
+# default 32 bits: the pair join buckets on fingerprint bands, and
 # 2^8 buckets (16-bit fingerprints) collide massively on same-domain
 # text (measured 698k candidate pairs on 5k docs); 2^16 buckets keep
-# candidates near-linear. The oracle-checked entry query pins 16 bits
-# (its SQL mirror enumerates bit positions).
+# candidates near-linear. The oracle-checked entry queries pin 16 bits
+# (their SQL mirrors enumerate bit positions).
 N_SIMHASH_BITS = 32
 
 
@@ -215,32 +265,43 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                  .alias("simhash")))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 2,
-                  n_bits: int = N_SIMHASH_BITS) -> DataFrame:
-    """(id_a, id_b, hamming) with hamming ≤ max_hamming.
+def simhash_band_pairs(sig: DataFrame, max_hamming: int = 2,
+                       n_bits: int = N_SIMHASH_BITS) -> DataFrame:
+    """(id_a, id_b, hamming) with hamming ≤ max_hamming, from a
+    (id, simhash) frame.
 
-    Pairing strategy: join on half-fingerprint bands (a pair within
-    hamming ≤ 2 of 16 bits agrees on at least one 8-bit half) — the
-    pigeonhole trick that avoids the all-pairs product at scale."""
-    sig = simhash(df, id_col, text_col, n_bits)
-    half = 2 ** (n_bits // 2)
-    sig = (sig.withColumn("lo", F.pmod("simhash", F.lit(half)))
-           .withColumn("hi", (F.col("simhash") / half).cast("long")))
-    # an OR of two equi-conditions cannot hash-join (Spark would fall
-    # back to a nested-loop cartesian): run one equi-join PER band and
-    # union — each is a plain shuffle-hash join on a uniform key
-    def _band_join(key: str):
+    Pairing strategy: split the fingerprint into ``max_hamming + 1``
+    contiguous bit bands. A pair with ≤ max_hamming differing bits has
+    at most max_hamming "dirty" bands, so by pigeonhole at least one
+    band is bit-identical — one equi-join per band (uniform key, plain
+    hash join) finds every such pair; the exact hamming filter then
+    removes band-collision false positives. (Round 1 used only 2
+    bands for max_hamming=2, which misses a pair whose two differing
+    bits straddle the halves — k differing bits need k+1 bands.)
+    """
+    n_bands = max_hamming + 1
+    widths = [n_bits // n_bands + (1 if i < n_bits % n_bands else 0)
+              for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    for i, (off, w) in enumerate(zip(offsets, widths)):
+        sig = sig.withColumn(
+            f"band_{i}",
+            F.pmod(F.shiftright(F.col("simhash"), off), F.lit(2 ** w)))
+
+    def _band_join(i: int):
         a = sig.alias("a")
         b = sig.alias("b")
-        return (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        return (a.join(b, (F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
                        & (F.col("a.id") < F.col("b.id")))
                 .select(F.col("a.id").alias("id_a"),
                         F.col("b.id").alias("id_b"),
                         F.col("a.simhash").alias("sh_a"),
                         F.col("b.simhash").alias("sh_b")))
 
-    cand = _band_join("lo").unionByName(_band_join("hi")).distinct()
+    cand = _band_join(0)
+    for i in range(1, n_bands):
+        cand = cand.unionByName(_band_join(i))
+    cand = cand.distinct()
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ham = F.aggregate(
         F.sequence(F.lit(0), F.lit(n_bits - 1)),
@@ -254,17 +315,44 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "hamming"))
 
 
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 2,
+                  n_bits: int = N_SIMHASH_BITS) -> DataFrame:
+    """(id_a, id_b, hamming) with hamming ≤ max_hamming — fingerprint
+    then band-pair (see simhash_band_pairs for the recall guarantee)."""
+    return simhash_band_pairs(simhash(df, id_col, text_col, n_bits),
+                              max_hamming, n_bits)
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                            threshold: float = 0.95) -> DataFrame:
+                            threshold: float = 0.95,
+                            n_planes: int = 8,
+                            dim: int = 64) -> DataFrame:
     """(id_a, id_b, cos_sim) for cosine ≥ threshold (rounded to 4 dp
-    for cross-engine float stability). All-pairs here; at scale, bucket
-    by sign-LSH first (similarity.lsh_buckets) and pair within bucket."""
+    for cross-engine float stability).
+
+    Candidate pairs come from a sign-LSH bucket equi-join
+    (similarity.lsh_buckets): two vectors are compared only when all
+    n_planes random-hyperplane signs agree, probing ~1/2^n_planes of
+    the pair space — the join is a plain hash join on the bucket key,
+    never a cartesian. High-cosine pairs agree on a hyperplane sign
+    with probability 1 − θ/π, so near-dups (θ→0) land in the same
+    bucket with probability ≈ (1 − θ/π)^n_planes → 1.
+
+    ``n_planes=0`` degenerates to the exact all-pairs product (every
+    vector in bucket 0) — the small-N / oracle path.
+    """
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    if n_planes > 0:
+        from .similarity import lsh_buckets
+        v = v.join(lsh_buckets(df, id_col, vec_col, n_planes, dim), "id")
+    else:
+        v = v.withColumn("bucket", F.lit(0))
     a = v.alias("a")
     b = v.alias("b")
     dot = F.aggregate(
@@ -274,7 +362,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0),
                             lambda acc, x: acc + x * x))
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
                     F.round(dot / (na * nb), 4).alias("cos_sim"))

@@ -558,23 +558,34 @@ def dedup_exact(spark, sf_dir):
 
 @register("dedup_ngram_jaccard", f"""
 WITH {_SHINGLE_CTE},
+freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+capped AS (SELECT sh.doc_id, sh.shingle
+           FROM sh JOIN freq USING (shingle) WHERE df <= 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT id_a, id_b,
+SELECT inter.id_a, inter.id_b,
        round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
+JOIN cand ON cand.id_a = inter.id_a AND cand.id_b = inter.id_b
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
 WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """)
 def dedup_jaccard(spark, sf_dir):
+    # max_shingle_df=2 BINDS at sf0.01 (max df is 3): the oracle proves
+    # the stop-shingle cut, not just the uncapped path
     out = dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=5, threshold=0.5)
+        n=5, threshold=0.5, max_shingle_df=2)
     return out.select("id_a", "id_b",
                       F.round("jaccard", 6).alias("jaccard"))
 
@@ -655,8 +666,10 @@ def _bitpow_values(n_bits: int = 16) -> str:
     return ", ".join(f"({j}, {2 ** j})" for j in range(n_bits))
 
 
-@register("dedup_simhash", f"""
-WITH words AS (
+# 16-bit simhash fingerprint CTE — shared by the fingerprint query and
+# the banded-pairs query (mirrors operators/dedup.py::simhash exactly)
+_SIMHASH16_CTE = f"""
+words AS (
   SELECT doc_id, w, count(*) AS tf FROM (
     SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS w
     FROM documents
@@ -671,16 +684,69 @@ per_bit AS (
          sum(tf * (CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END)) AS s
   FROM hashed CROSS JOIN bits
   GROUP BY doc_id, bit
-)
-SELECT doc_id AS id,
-       CAST(sum(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT)
-       AS simhash
-FROM per_bit GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id AS id,
+         CAST(sum(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+  FROM per_bit GROUP BY doc_id
+)"""
+
+
+@register("dedup_simhash", f"""
+WITH {_SIMHASH16_CTE}
+SELECT id, simhash FROM sig
 """)
 def simhash_q(spark, sf_dir):
     # n_bits=16 pinned: the SQL oracle enumerates 16 bit positions
     return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text",
                          n_bits=16)
+
+
+@register("dedup_simhash_pairs", f"""
+WITH {_SIMHASH16_CTE},
+-- max_hamming=2 → 3 bands over 16 bits: widths 6,5,5 at offsets 0,6,11
+b AS (
+  SELECT id, simhash,
+         simhash % 64 AS band_0,
+         (simhash // 64) % 32 AS band_1,
+         (simhash // 2048) % 32 AS band_2
+  FROM sig
+),
+cand AS (
+  SELECT a.id AS id_a, b2.id AS id_b, a.simhash AS sh_a, b2.simhash AS sh_b
+  FROM b a JOIN b b2 ON a.band_0 = b2.band_0 AND a.id < b2.id
+  UNION
+  SELECT a.id, b2.id, a.simhash, b2.simhash
+  FROM b a JOIN b b2 ON a.band_1 = b2.band_1 AND a.id < b2.id
+  UNION
+  SELECT a.id, b2.id, a.simhash, b2.simhash
+  FROM b a JOIN b b2 ON a.band_2 = b2.band_2 AND a.id < b2.id
+),
+ham AS (
+  SELECT id_a, id_b,
+         CAST(sum((xor(sh_a, sh_b) // pw) % 2) AS INT) AS hamming
+  FROM cand CROSS JOIN bits
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+""")
+def simhash_pairs_q(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"),
+                               "doc_id", "text", max_hamming=2, n_bits=16)
+
+
+def _planes_sql_lists(n_planes: int = 4, dim: int = 64) -> list[str]:
+    return ["[" + ", ".join(repr(x) for x in plane) + "]"
+            for plane in hyperplanes(n_planes, dim)]
+
+
+def _lsh_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(e, {pl}) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p, pl in enumerate(_planes_sql_lists(n_planes, dim))
+    ]
+    return " + ".join(terms)
 
 
 @register("embedding_neardup", """
@@ -695,9 +761,31 @@ WHERE round(list_dot_product(a.e, b.e)
                * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
 """)
 def emb_neardup(spark, sf_dir):
+    # n_planes=0 = the exact all-pairs degenerate case (oracle-friendly
+    # at small N); the scale path is the bucketed query below
     return dedup.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.35)
+        threshold=0.35, n_planes=0)
+
+
+@register("embedding_neardup_lsh", f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bkt AS (SELECT vec_id, e, CAST({{bucket_sql}} AS BIGINT) AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35
+""".replace("{bucket_sql}", _lsh_bucket_sql(4, 64)))
+def emb_neardup_lsh(spark, sf_dir):
+    # the 100-TB path: candidates only within a sign-LSH bucket —
+    # equi-join on `bucket`, never a cartesian (asserted in PLANS.md)
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.35, n_planes=4, dim=64)
 
 
 @register("ann_topk_bruteforce", """
@@ -720,19 +808,6 @@ def ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5)
-
-
-def _planes_sql_lists(n_planes: int = 4, dim: int = 64) -> list[str]:
-    return ["[" + ", ".join(repr(x) for x in plane) + "]"
-            for plane in hyperplanes(n_planes, dim)]
-
-
-def _lsh_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
-    terms = [
-        f"(CASE WHEN list_dot_product(e, {pl}) > 0 THEN {2 ** p} ELSE 0 END)"
-        for p, pl in enumerate(_planes_sql_lists(n_planes, dim))
-    ]
-    return " + ".join(terms)
 
 
 @register("ann_lsh_bucketed", f"""

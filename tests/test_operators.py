@@ -64,6 +64,14 @@ def test_minhash_lsh_finds_exact_dup(spark, docs):
     assert math.isclose(j01, 1.0)
 
 
+def test_minhash_lsh_leaves_no_cached_rdds(spark, docs):
+    # round-1 leaked a persisted shingle frame per call; the rewrite
+    # computes signatures row-local and persists nothing
+    dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                            threshold=0.5).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_simhash_near_vs_far(spark, docs):
     sig = dedup.simhash(docs, "doc_id", "text", n_bits=16).toPandas() \
         .set_index("id")["simhash"]
@@ -77,6 +85,21 @@ def test_simhash_near_vs_far(spark, docs):
     assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
 
 
+def test_simhash_band_pairs_straddle(spark):
+    # the round-1 recall bug: 2 differing bits straddling the halves of
+    # a 2-band split match neither band. 16 bits / max_hamming=2 → 3
+    # bands (widths 6,5,5 at offsets 0,6,11) must find every such pair.
+    x = 0b1010110011010101
+    rows = [(0, x),
+            (1, x ^ (1 << 2) ^ (1 << 8)),    # dirty bands 0+1 → band 2 hits
+            (2, x ^ (1 << 3) ^ (1 << 12)),   # dirty bands 0+2 → band 1 hits
+            (3, x ^ (1 << 1) ^ (1 << 7) ^ (1 << 13))]  # hamming 3 → out
+    sig = spark.createDataFrame(rows, "id long, simhash long")
+    out = dedup.simhash_band_pairs(sig, max_hamming=2, n_bits=16).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(0, 1), (0, 2)}
+    assert set(out.hamming) == {2}
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.RandomState(0)
@@ -87,9 +110,18 @@ def emb(spark):
 
 
 def test_embedding_neardup(spark, emb):
+    # exact all-pairs path
     out = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding",
-                                        threshold=0.95).toPandas()
+                                        threshold=0.95,
+                                        n_planes=0).toPandas()
     assert (3, 7) in set(zip(out.id_a, out.id_b))
+    # bucketed path: the near-identical pair shares every hyperplane
+    # sign (cos≈1 ⇒ θ≈0), so it survives the bucket equi-join
+    lsh = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.95, n_planes=4,
+                                        dim=8).toPandas()
+    assert (3, 7) in set(zip(lsh.id_a, lsh.id_b))
+    assert set(zip(lsh.id_a, lsh.id_b)) <= set(zip(out.id_a, out.id_b))
 
 
 def test_cosine_topk_matches_numpy(spark, emb):
