@@ -89,9 +89,11 @@ def dimension_metrics(verdicts: DataFrame,
            .groupBy("partition_key", "k")
            .agg(F.sum(F.abs(F.col("n") / F.col("total")
                             - 1.0 / F.col("k"))).alias("total_dev")))
+    # k<=1 → 0.0: reference parity (quality_checks.py:25-29, single
+    # class is maximally unrepresentative)
     rep_score = dev.select(
         "partition_key",
-        F.when(F.col("k") <= 1, F.lit(1.0)).otherwise(
+        F.when(F.col("k") <= 1, F.lit(0.0)).otherwise(
             F.lit(1.0) - F.col("total_dev")
             / (2.0 * (1.0 - 1.0 / F.col("k"))))
         .alias("population_representativity"))

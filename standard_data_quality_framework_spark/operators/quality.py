@@ -48,30 +48,35 @@ def completeness(df: DataFrame, cols: list[str],
 
 def accuracy_ranges(df: DataFrame, ranges: dict[str, tuple[float, float]],
                     allowed: dict[str, list] | None = None) -> DataFrame:
-    """Values-within-expected-range ratio per column + overall.
+    """Values-within-expected-range ratio, POOLED across columns.
 
-    Reference: quality_checks.py:77-133 — per configured column,
-    valid = non-null values inside [lo, hi] (or in the allow-list);
-    per-column accuracy = valid/non-null; overall = mean of per-column
-    accuracies. Output: one row (score, acc_<col>...).
+    Reference: quality_checks.py:77-133 — overall score =
+    values_within_range / total_values_checked summed over ALL
+    configured columns (not a mean of per-column ratios: columns with
+    more non-null values weigh more, exactly as the reference pools
+    its counters). total_values_checked == 0 → 1.0 (reference's "no
+    numeric values" branch). Per-column accuracies ride along as
+    detail columns, null when the column has no non-null values.
+    Output: one row (score, acc_<col>...).
     """
     allowed = allowed or {}
     aggs = []
     names = []
-    for c, (lo, hi) in ranges.items():
-        nn = F.sum(_flag(F.col(c).isNotNull()))
-        ok = F.sum(_flag(F.col(c).between(lo, hi)))
-        aggs.append(F.round(ok / nn, 6).alias(f"acc_{c}"))
-        names.append(f"acc_{c}")
-    for c, vals in allowed.items():
-        nn = F.sum(_flag(F.col(c).isNotNull()))
-        ok = F.sum(_flag(F.col(c).isin(vals)))
-        aggs.append(F.round(ok / nn, 6).alias(f"acc_{c}"))
-        names.append(f"acc_{c}")
+    specs = [(c, F.col(c).between(lo, hi)) for c, (lo, hi) in ranges.items()]
+    specs += [(c, F.col(c).isin(vals)) for c, vals in allowed.items()]
+    for c, ok_cond in specs:
+        aggs.append(F.sum(_flag(F.col(c).isNotNull())).alias(f"_nn_{c}"))
+        aggs.append(F.sum(_flag(ok_cond)).alias(f"_ok_{c}"))
+        names.append(c)
     row = df.agg(*aggs)
-    overall = sum(F.col(n) for n in names) / len(names)
-    return row.select(F.round(overall, 6).alias("score"),
-                      *[F.col(n) for n in names])
+    total_nn = sum(F.col(f"_nn_{c}") for c in names)
+    total_ok = sum(F.col(f"_ok_{c}") for c in names)
+    return row.select(
+        F.when(total_nn == 0, F.lit(1.0))
+        .otherwise(F.round(total_ok / total_nn, 6)).alias("score"),
+        *[F.when(F.col(f"_nn_{c}") > 0,
+                 F.round(F.col(f"_ok_{c}") / F.col(f"_nn_{c}"), 6))
+          .alias(f"acc_{c}") for c in names])
 
 
 def coherence_types(df: DataFrame, numeric_cols: list[str],
@@ -102,7 +107,10 @@ def coherence_types(df: DataFrame, numeric_cols: list[str],
 
 
 def representativity_maxdev(df: DataFrame, col: str) -> DataFrame:
-    """A2: score = 1 − max_c |p_c − 1/k| / (1 − 1/k), clamped to [0,1].
+    """A2: score = 1 − max_c |p_c − 1/k| / (1 − 1/k), clamped to [0,1];
+    k ≤ 1 → 0.0 (the reference's "need at least 2 classes" branch,
+    quality_checks.py:25-29 — a single-class column is maximally
+    unrepresentative, not perfect).
 
     Reference: quality_checks.py:31-43. Output: one row (score, k).
     """
@@ -115,7 +123,7 @@ def representativity_maxdev(df: DataFrame, col: str) -> DataFrame:
              .alias("max_dev"),
              F.first("k").alias("k")))
     return dev.select(
-        F.when(F.col("k") <= 1, F.lit(1.0)).otherwise(
+        F.when(F.col("k") <= 1, F.lit(0.0)).otherwise(
             F.round(F.greatest(
                 F.lit(0.0),
                 F.least(F.lit(1.0),
@@ -125,7 +133,8 @@ def representativity_maxdev(df: DataFrame, col: str) -> DataFrame:
 
 
 def representativity_totaldev(df: DataFrame, col: str) -> DataFrame:
-    """A3: score = 1 − Σ_c |p_c − 1/k| / (2(1 − 1/k)).
+    """A3: score = 1 − Σ_c |p_c − 1/k| / (2(1 − 1/k)); k ≤ 1 → 0.0
+    (single-class branch, quality_checks.py:25-29 — see A2).
 
     Reference: uc4_tabular_quality_checks.py:34-42 (duplicated at
     uc1:337-347). Output: one row (score, k).
@@ -138,7 +147,7 @@ def representativity_totaldev(df: DataFrame, col: str) -> DataFrame:
              .alias("total_dev"),
              F.first("k").alias("k")))
     return dev.select(
-        F.when(F.col("k") <= 1, F.lit(1.0)).otherwise(
+        F.when(F.col("k") <= 1, F.lit(0.0)).otherwise(
             F.round(F.greatest(
                 F.lit(0.0),
                 F.least(F.lit(1.0),

@@ -248,13 +248,16 @@ def completeness_documents(spark, sf_dir):
 
 
 @register("accuracy_ranges_lineitem", """
+-- overall score POOLS counts across columns (reference
+-- quality_checks.py:121: values_within_range / total_values_checked)
 SELECT round(( count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END)
-               * 1.0 / count(CASE WHEN l_quantity IS NOT NULL THEN 1 END)
              + count(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 END)
-               * 1.0 / count(CASE WHEN l_discount IS NOT NULL THEN 1 END)
              + count(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 1 END)
-               * 1.0 / count(CASE WHEN l_tax IS NOT NULL THEN 1 END)
-             ) / 3.0, 6) AS score,
+             ) * 1.0 /
+             ( count(CASE WHEN l_quantity IS NOT NULL THEN 1 END)
+             + count(CASE WHEN l_discount IS NOT NULL THEN 1 END)
+             + count(CASE WHEN l_tax IS NOT NULL THEN 1 END)
+             ), 6) AS score,
        round(count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END)
              * 1.0 / count(CASE WHEN l_quantity IS NOT NULL THEN 1 END), 6)
              AS acc_l_quantity,
@@ -298,7 +301,7 @@ def coherence_documents(spark, sf_dir):
 WITH counts AS (SELECT lang, count(*) AS n FROM documents
                 WHERE lang IS NOT NULL GROUP BY lang),
 tot AS (SELECT count(*) AS k, sum(n) AS total FROM counts)
-SELECT CASE WHEN k <= 1 THEN 1.0 ELSE
+SELECT CASE WHEN k <= 1 THEN 0.0 ELSE
   round(greatest(0.0, least(1.0,
     1.0 - (SELECT max(abs(n * 1.0 / total - 1.0 / k)) FROM counts, tot)
           / (1.0 - 1.0 / k))), 6) END AS score,
@@ -314,7 +317,7 @@ def rep_maxdev(spark, sf_dir):
 WITH counts AS (SELECT lang, count(*) AS n FROM documents
                 WHERE lang IS NOT NULL GROUP BY lang),
 tot AS (SELECT count(*) AS k, sum(n) AS total FROM counts)
-SELECT CASE WHEN k <= 1 THEN 1.0 ELSE
+SELECT CASE WHEN k <= 1 THEN 0.0 ELSE
   round(greatest(0.0, least(1.0,
     1.0 - (SELECT sum(abs(n * 1.0 / total - 1.0 / k)) FROM counts, tot)
           / (2.0 * (1.0 - 1.0 / k)))), 6) END AS score,
@@ -338,7 +341,7 @@ WITH b AS (
 counts AS (SELECT bucket, count(*) AS n FROM b
            WHERE bucket IS NOT NULL GROUP BY bucket),
 tot AS (SELECT count(*) AS k, sum(n) AS total FROM counts)
-SELECT CASE WHEN k <= 1 THEN 1.0 ELSE
+SELECT CASE WHEN k <= 1 THEN 0.0 ELSE
   round(greatest(0.0, least(1.0,
     1.0 - (SELECT sum(abs(n * 1.0 / total - 1.0 / k)) FROM counts, tot)
           / (2.0 * (1.0 - 1.0 / k)))), 6) END AS score,
@@ -502,7 +505,7 @@ repc AS (SELECT lang, count(*) AS n FROM documents
 rept AS (SELECT count(*) AS k, sum(n) AS total FROM repc),
 rep AS (
   SELECT 'population_representativity' AS dimension,
-         CASE WHEN k <= 1 THEN 1.0 ELSE
+         CASE WHEN k <= 1 THEN 0.0 ELSE
            round(greatest(0.0, least(1.0,
              1.0 - (SELECT sum(abs(n * 1.0 / total - 1.0 / k))
                     FROM repc, rept) / (2.0 * (1.0 - 1.0 / k)))), 6)

@@ -3,17 +3,20 @@
 One "run" = quality-filter the pages table into the warehouse:
 
   tables written:
-    pages_filtered   (partitioned by warc_date)  — dynamic overwrite
-    metrics          (append, per warc_date × dimension rows)
-    dropped_by_rule  (append)
+    pages_filtered   (partitioned by warc_date)            — dynamic overwrite
+    metrics          (partitioned by stage × partition_key) — dynamic overwrite
+    dropped_by_rule  (partitioned by stage × partition_key) — dynamic overwrite
     lineage          (append, one row per warc_date; commit LAST)
 
 Resume contract: lineage is committed only after the data/metrics
-writes for the covered partitions succeed, and the data write is an
-idempotent dynamic-partition overwrite. On restart we anti-join the
-input's warc_dates against completed lineage rows for this stage and
-re-process only the remainder — a crashed run redoes at most the
-partitions whose lineage had not committed, and redoing them is safe.
+writes for the covered partitions succeed, and EVERY data/metrics
+write is an idempotent per-partition overwrite — a replayed partition
+replaces its own previous rows instead of appending next to them, so
+a crash after the metrics write but before the lineage commit cannot
+double-count. On restart we anti-join the input's warc_dates against
+completed lineage rows for this stage and re-process only the
+remainder. (Duplicate 'done' lineage rows from a crash mid-append are
+harmless: pending_dates reads the distinct partition_key set.)
 """
 
 from __future__ import annotations
@@ -81,13 +84,18 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
                         "warc_date", "url_bucket"))
         catalog.overwrite_partitions(kept, "pages_filtered", ["warc_date"])
 
+        # per-partition overwrite (NOT append): a replay of a partition
+        # whose lineage never committed replaces its own rows — resume
+        # cannot double-count metrics
         mets = dimension_metrics(verdicts).withColumn(
             "run_id", F.lit(run_id)).withColumn("stage", F.lit(STAGE))
-        catalog.append(mets, "metrics")
+        catalog.overwrite_partitions(mets, "metrics",
+                                     ["stage", "partition_key"])
 
         dbr = dropped_by_rule(verdicts).withColumn(
             "run_id", F.lit(run_id)).withColumn("stage", F.lit(STAGE))
-        catalog.append(dbr, "dropped_by_rule")
+        catalog.overwrite_partitions(dbr, "dropped_by_rule",
+                                     ["stage", "partition_key"])
 
         # lineage commit LAST — the resume barrier
         lin = lineage_rows(verdicts, run_id, STAGE)

@@ -6,8 +6,12 @@ Two entry points:
       foreachBatch(full batch pipeline) → partitioned parquet sink.
       foreachBatch is the right shape here because the verdict stage
       includes a per-crawl-day dedup window: inside a micro-batch the
-      same deterministic batch DAG applies (exactly-once via the
-      streaming checkpoint + idempotent dynamic partition overwrite).
+      same deterministic batch DAG applies. Exactly-once: the file
+      source + checkpoint pin which files make up each epoch, and the
+      sink is a dynamic partition overwrite keyed by batch_id — a
+      RETRIED epoch rewrites exactly its own (batch_id=N, …)
+      partitions instead of appending a second copy, so replays are
+      idempotent (mode('append') here would be at-least-once).
 
   streaming_quality_metrics — a pure append-mode aggregation stream:
       1-day event-time windows + watermark over the verdict stream,
@@ -44,8 +48,12 @@ def run_streaming_filter(spark: SparkSession, input_dir: str,
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out = run_quality_filter(spark, batch_df, udfs=udfs)
-        (out.kept.write.mode("append")
-         .partitionBy("warc_date")
+        # epoch-keyed idempotent rewrite: batch_id leads the partition
+        # spec so a retry of epoch N touches only batch_id=N dirs
+        (out.kept.withColumn("batch_id", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", "warc_date")
          .parquet(output_dir))
 
     writer = (stream.writeStream

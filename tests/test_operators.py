@@ -202,6 +202,27 @@ def test_representativity_formulas(spark):
     df3 = spark.createDataFrame([("a",), ("b",), ("c",)] * 10, "c string")
     assert quality.representativity_maxdev(df3, "c").toPandas().score[0] == 1.0
     assert quality.representativity_totaldev(df3, "c").toPandas().score[0] == 1.0
+    # single class → 0.0 (reference quality_checks.py:25-29, NOT 1.0)
+    df1 = spark.createDataFrame([("a",)] * 10, "c string")
+    assert quality.representativity_maxdev(df1, "c").toPandas().score[0] == 0.0
+    assert quality.representativity_totaldev(df1, "c").toPandas().score[0] == 0.0
+
+
+def test_accuracy_ranges_pooled(spark):
+    # 3 non-null a-values (2 ok), 1 non-null b-value (1 ok):
+    # pooled = 3/4 (reference counts), NOT mean(2/3, 1/1) = 5/6
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, None), (99.0, None)], "a double, b double")
+    out = quality.accuracy_ranges(df, {"a": (0, 10), "b": (0, 10)}).toPandas()
+    assert math.isclose(out.score[0], 0.75)
+    assert math.isclose(out.acc_a[0], round(2 / 3, 6))
+    assert math.isclose(out.acc_b[0], 1.0)
+    # a column with zero non-null values must not null the pooled score
+    df2 = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "a double, b double")
+    out2 = quality.accuracy_ranges(df2, {"a": (0, 10), "b": (0, 10)}).toPandas()
+    assert math.isclose(out2.score[0], 1.0)
+    assert out2.acc_b.isna()[0]
 
 
 def test_bucketed_balance_pd_cut_parity(spark):

@@ -47,6 +47,24 @@ def test_resume_processes_only_pending_dates(spark, pages_df, tmp_path):
     assert (lin.groupby("partition_key").size() == 1).all()
 
 
+def test_replay_overwrites_metrics_not_appends(spark, pages_df, tmp_path):
+    # crash simulation: metrics/dropped_by_rule written, lineage commit
+    # lost → the full replay must REPLACE those rows, not double them
+    import shutil
+    wh = str(tmp_path / "whr")
+    run(spark, pages_df, wh, run_id="r1")
+    m1 = spark.read.parquet(f"{wh}/metrics").count()
+    d1 = spark.read.parquet(f"{wh}/dropped_by_rule").count()
+    shutil.rmtree(f"{wh}/lineage")
+    run(spark, pages_df, wh, run_id="r2")
+    mets = spark.read.parquet(f"{wh}/metrics")
+    assert mets.count() == m1
+    assert spark.read.parquet(f"{wh}/dropped_by_rule").count() == d1
+    # the surviving rows are the replay's, not a mix
+    assert [r.run_id for r in mets.select("run_id").distinct().collect()] \
+        == ["r2"]
+
+
 def test_metrics_dimensions_and_ratings(spark, pages_df):
     out = run_quality_filter(spark, pages_df)
     verdicts = out.verdicts.withColumn("warc_date", F.to_date("warc_ts"))

@@ -31,6 +31,15 @@ def test_streaming_filter_matches_batch(spark, pages_df, tmp_path):
     again = spark.read.parquet(out).select("url").toPandas()
     assert len(again) == len(got)
 
+    # retried epoch (fresh checkpoint, same sink): the epoch-keyed
+    # dynamic overwrite rewrites batch_id=0 in place — append mode
+    # here would double every row
+    q3 = run_streaming_filter(spark, inp, out, str(tmp_path / "ckpt2"),
+                              trigger_once=True)
+    q3.awaitTermination(600)
+    retried = spark.read.parquet(out).select("url").toPandas()
+    assert sorted(retried["url"]) == sorted(got["url"])
+
 
 def test_streaming_windowed_metrics(spark, pages_df, tmp_path):
     inp = str(tmp_path / "in2")
