@@ -37,27 +37,38 @@ def _flag(c) -> F.Column:
     return F.when(c, 1).otherwise(0)
 
 
+_META_COLS = ["url", "warc_ts", "text", "lang"]
+
+
 def dimension_metrics(verdicts: DataFrame,
                       group_col: str = "warc_date") -> DataFrame:
     """Long-format metrics: one row per (group, dimension) + overall.
 
     Output: (partition_key string, dimension string, score double,
              rating int, docs_scanned long, docs_dropped long,
-             scrub_edit_count long)
+             scrub_edit_count long, explanation string,
+             details map<string,string>)
+
+    ``details`` completes the reference's (score, explanation, details)
+    3-tuple contract (rating.py:35-39): per-column missing counts for
+    completeness (quality_checks.py:215-242), per-rule flagged counts
+    for accuracy, per-class proportions for representativity
+    (uc4_tabular_quality_checks.py:193-291), and the raw counters
+    behind each ratio score.
     """
     g = F.col(group_col).cast("string").alias("partition_key")
-    present = [
-        F.col("url").isNotNull(),
-        F.col("warc_ts").isNotNull(),
-        F.col("etext").isNotNull() & (F.length("etext") > 0),
-        F.col("lang").isNotNull() & (F.length("lang") > 0),
-    ]
+    presence = {
+        "url": F.col("url").isNotNull(),
+        "warc_ts": F.col("warc_ts").isNotNull(),
+        "text": F.col("etext").isNotNull() & (F.length("etext") > 0),
+        "lang": F.col("lang").isNotNull() & (F.length("lang") > 0),
+    }
     base = verdicts.groupBy(g).agg(
         F.count("*").alias("docs_scanned"),
         F.sum(_flag(~F.col("keep"))).alias("docs_dropped"),
         F.sum(F.col("scrub_edits").cast("long")).alias("scrub_edit_count"),
-        (F.sum(sum(_flag(p) for p in present))
-         / (F.count("*") * len(present))).alias("completeness"),
+        (F.sum(sum(_flag(p) for p in presence.values()))
+         / (F.count("*") * len(presence))).alias("completeness"),
         (F.sum(_flag(~F.arrays_overlap(
             "drop_reasons",
             F.array(*[F.lit(r) for r in _RANGE_RULES]))))
@@ -75,6 +86,21 @@ def dimension_metrics(verdicts: DataFrame,
                      & F.col("lang").isNotNull()
                      & (F.length("lang") > 0))) / F.count("*"))
         .alias("metadata_granularity"),
+        # detail counters (one pass — same aggregation, more columns)
+        *[F.sum(_flag(~p)).alias(f"_missing_{c}")
+          for c, p in presence.items()],
+        *[F.sum(_flag(F.array_contains("drop_reasons", r)))
+          .alias(f"_flag_{r}") for r in _RANGE_RULES],
+        F.sum(_flag(F.array_contains("drop_reasons", "exact_dup")))
+        .alias("_n_exact_dup"),
+        F.sum(_flag(~((F.length("etext") > 0)
+                      & ~F.col("etext").contains("�"))))
+        .alias("_n_bad_decode"),
+        F.count_distinct("url").alias("_n_distinct_urls"),
+        F.sum(_flag(F.col("url").isNotNull()
+                    & F.col("warc_ts").isNotNull()
+                    & F.col("lang").isNotNull()
+                    & (F.length("lang") > 0))).alias("_n_meta_ok"),
     )
 
     # population representativity (A3, total-deviation) over lang_pred
@@ -98,7 +124,45 @@ def dimension_metrics(verdicts: DataFrame,
             / (2.0 * (1.0 - 1.0 / F.col("k"))))
         .alias("population_representativity"))
 
-    wide = base.join(rep_score, "partition_key", "left")
+    # per-class proportion map (uc4:193-291 per-class details) — the
+    # map entries are sorted by class for a deterministic layout
+    rep_details = (counts
+                   .join(rep.select("partition_key", "total"),
+                         "partition_key")
+                   .groupBy("partition_key")
+                   .agg(F.map_from_entries(F.array_sort(F.collect_list(
+                       F.struct(
+                           F.coalesce(F.col("lang_pred"), F.lit("null"))
+                           .alias("key"),
+                           F.round(F.col("n") / F.col("total"), 6)
+                           .cast("string").alias("value")))))
+                       .alias("_rep_details")))
+
+    wide = (base.join(rep_score, "partition_key", "left")
+            .join(rep_details, "partition_key", "left"))
+
+    def _m(*pairs) -> F.Column:
+        kv = []
+        for k, v in pairs:
+            kv += [F.lit(k), v.cast("string")]
+        return F.create_map(*kv)
+
+    detail_exprs = {
+        "completeness": _m(*[(f"missing_{c}", F.col(f"_missing_{c}"))
+                             for c in _META_COLS]),
+        "accuracy": _m(*[(f"flagged_{r}", F.col(f"_flag_{r}"))
+                         for r in _RANGE_RULES]),
+        "coherence": _m(("bad_decode", F.col("_n_bad_decode"))),
+        "semantic_coherence": _m(("exact_dup_docs",
+                                  F.col("_n_exact_dup"))),
+        "relational_consistency": _m(("distinct_urls",
+                                      F.col("_n_distinct_urls"))),
+        "population_representativity": F.col("_rep_details"),
+        "metadata_granularity": _m(("meta_complete_docs",
+                                    F.col("_n_meta_ok"))),
+    }
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<key:string,value:string>>"))
 
     rows = []
     for dim in DIMENSIONS:
@@ -113,7 +177,8 @@ def dimension_metrics(verdicts: DataFrame,
             F.col(dim).cast("double").alias("score"),
             bucket_rating(F.col(dim)).alias("rating"),
             "docs_scanned", "docs_dropped", "scrub_edit_count",
-            expl.alias("explanation")))
+            expl.alias("explanation"),
+            detail_exprs.get(dim, empty_map).alias("details")))
     long = rows[0]
     for r in rows[1:]:
         long = long.unionByName(r)
@@ -130,7 +195,8 @@ def dimension_metrics(verdicts: DataFrame,
                        "docs_scanned", "docs_dropped", "scrub_edit_count",
                        F.format_string(
                            "overall: mean of %d dimension ratings",
-                           F.lit(len(DIMENSIONS))).alias("explanation")))
+                           F.lit(len(DIMENSIONS))).alias("explanation"),
+                       empty_map.alias("details")))
     return long.unionByName(overall)
 
 

@@ -284,7 +284,10 @@ def identical_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.append(F.sum(F.pmod(hash60(F.col(c).cast("string")),
                                  F.lit(MERSENNE31))).alias(f"fp_{c}"))
         aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
-    row = df.agg(*aggs)
+    return _fingerprint_pairs(df.agg(*aggs), cols)
+
+
+def _fingerprint_pairs(row: DataFrame, cols: list[str]) -> DataFrame:
     pairs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
@@ -296,3 +299,46 @@ def identical_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in pairs[1:]:
         out = out.unionByName(p)
     return out.filter(F.col("identical")).select("col_a", "col_b")
+
+
+def identical_columns_positional(df: DataFrame, cols: list[str],
+                                 key_col: str) -> DataFrame:
+    """A18, POSITIONAL variant: columns are identical iff they hold the
+    same value on every row, rows identified by the unique ``key_col``
+    (the reference compares aligned series element-wise —
+    uc3_timeseries_quality_checks.py:696-699).
+
+    Instead of a global row_number (a single-partition sort at scale),
+    each value is hashed JOINTLY with its row key: sums of
+    hash(key ‖ value) match iff the (key → value) mappings match —
+    order-insensitive aggregation, position-exact semantics, still one
+    O(k) pass with no shuffle beyond the final agg."""
+    from ..functions.hashing import MERSENNE31, hash60
+    aggs = []
+    for c in cols:
+        salted = F.concat_ws("␟", F.col(key_col).cast("string"),
+                             F.col(c).cast("string"))
+        aggs.append(F.sum(F.when(F.col(c).isNotNull(),
+                                 F.pmod(hash60(salted), F.lit(MERSENNE31))))
+                    .alias(f"fp_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
+    return _fingerprint_pairs(df.agg(*aggs), cols)
+
+
+def expected_columns_presence(df: DataFrame,
+                              expected: list[str]) -> DataFrame:
+    """Schema-presence check: expected columns found / expected.
+
+    Reference: config/use_case_config.py:7-18 expected_columns — the
+    per-use-case schema contract, scored instead of silently guarded.
+    Resolved at plan time from the DataFrame schema (no data pass).
+    Output: one row (score, n_expected, n_present, missing_cols).
+    """
+    have = set(df.columns)
+    present = [c for c in expected if c in have]
+    missing = [c for c in expected if c not in have]
+    return df.sparkSession.range(1).select(
+        F.round(F.lit(len(present) / len(expected)), 6).alias("score"),
+        F.lit(len(expected)).alias("n_expected"),
+        F.lit(len(present)).alias("n_present"),
+        F.lit(",".join(missing)).alias("missing_cols"))

@@ -1306,3 +1306,265 @@ def qualitative_combined(spark, sf_dir):
     return out.select(F.round("quant_rating", 6).alias("quant_rating"),
                       F.round("qual_rating", 6).alias("qual_rating"),
                       "overall_rating")
+
+
+# ===========================================================================
+# 6. Round 2: metrics details, schema checks, deeper relational core
+# ===========================================================================
+
+@register("metrics_details_documents", """
+WITH c AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN text IS NULL OR text = '' THEN 1 END) AS m_text,
+         count(CASE WHEN lang IS NULL OR lang = '' THEN 1 END) AS m_lang
+  FROM documents
+),
+comp_score AS (
+  SELECT round(1.0 - (0 + 0 + m_text + m_lang) / (n * 4.0), 6) AS score
+  FROM c
+),
+repc AS (SELECT coalesce(lang, 'und') AS cls, count(*) AS rn
+         FROM documents GROUP BY 1),
+rept AS (SELECT count(*) AS k, sum(rn) AS total FROM repc),
+rep_score AS (
+  SELECT round(CASE WHEN k <= 1 THEN 0.0 ELSE
+    1.0 - (SELECT sum(abs(rn * 1.0 / total - 1.0 / k)) FROM repc, rept)
+          / (2.0 * (1.0 - 1.0 / k)) END, 6) AS score
+  FROM rept
+)
+SELECT '2024-01-01' AS partition_key, 'completeness' AS dimension,
+       comp_score.score AS score, k.key AS key, k.value AS value
+FROM comp_score, c, (
+  SELECT 'missing_url' AS key, '0' AS value
+  UNION ALL SELECT 'missing_warc_ts', '0'
+  UNION ALL SELECT 'missing_text', CAST((SELECT m_text FROM c) AS VARCHAR)
+  UNION ALL SELECT 'missing_lang', CAST((SELECT m_lang FROM c) AS VARCHAR)
+) k
+UNION ALL
+SELECT '2024-01-01', 'population_representativity', rep_score.score,
+       repc.cls, CAST(round(repc.rn * 1.0 / rept.total, 6) AS VARCHAR)
+FROM rep_score, repc, rept
+""")
+def metrics_details_q(spark, sf_dir):
+    """The metrics table's 3-tuple contract (score, explanation,
+    details) read back through the REAL dimension_metrics code path —
+    documents projected into a verdicts-shaped frame so every value is
+    SQL-expressible (reference details: quality_checks.py:215-242
+    per-column missing, uc4:193-291 per-class proportions)."""
+    from ..metrics import dimension_metrics
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text").alias("etext"),
+        F.col("lang"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
+        F.lit(True).alias("keep"),
+        F.lit(0).alias("scrub_edits"),
+        F.array().cast("array<string>").alias("drop_reasons"),
+        F.lit("2024-01-01").alias("warc_date"))
+    mets = dimension_metrics(v, "warc_date")
+    return (mets.filter(F.col("dimension").isin(
+        "completeness", "population_representativity"))
+        .select("partition_key", "dimension",
+                F.round("score", 6).alias("score"),
+                F.explode("details").alias("key", "value")))
+
+
+@register("identical_columns_positional", f"""
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 10 AS a,
+         (doc_id + 1) % 10 AS b,
+         doc_id % 10 AS c
+  FROM documents
+),
+fp AS (
+  SELECT
+    CAST(sum(({hash60_sql(
+        "CAST(doc_id AS VARCHAR) || '␟' || CAST(a AS VARCHAR)")})
+         % {MERSENNE31}) AS BIGINT) AS fp_a, count(a) AS n_a,
+    CAST(sum(({hash60_sql(
+        "CAST(doc_id AS VARCHAR) || '␟' || CAST(b AS VARCHAR)")})
+         % {MERSENNE31}) AS BIGINT) AS fp_b, count(b) AS n_b,
+    CAST(sum(({hash60_sql(
+        "CAST(doc_id AS VARCHAR) || '␟' || CAST(c AS VARCHAR)")})
+         % {MERSENNE31}) AS BIGINT) AS fp_c, count(c) AS n_c
+  FROM src
+),
+pairs AS (
+  SELECT 'a' AS col_a, 'b' AS col_b, fp_a = fp_b AND n_a = n_b AS identical
+  FROM fp
+  UNION ALL SELECT 'a', 'c', fp_a = fp_c AND n_a = n_c FROM fp
+  UNION ALL SELECT 'b', 'c', fp_b = fp_c AND n_b = n_c FROM fp
+)
+SELECT col_a, col_b FROM pairs WHERE identical
+""")
+def identical_columns_positional_q(spark, sf_dir):
+    """a and b are PERMUTATIONS of each other (equal multisets — the
+    order-insensitive A18 would flag them); only (a, c) is positionally
+    identical, which is what the salted variant must report."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 10).alias("a"),
+        ((F.col("doc_id") + 1) % 10).alias("b"),
+        (F.col("doc_id") % 10).alias("c"))
+    return quality.identical_columns_positional(
+        d, ["a", "b", "c"], key_col="doc_id")
+
+
+@register("expected_columns_documents", """
+WITH exp(idx, name) AS (VALUES
+  (1, 'doc_id'), (2, 'text'), (3, 'lang'), (4, 'source'),
+  (5, 'n_chars'), (6, 'quality_score')),
+info AS (SELECT name FROM pragma_table_info('documents'))
+SELECT round(count(info.name) * 1.0 / 6, 6) AS score,
+       CAST(6 AS INT) AS n_expected,
+       CAST(count(info.name) AS INT) AS n_present,
+       coalesce(string_agg(CASE WHEN info.name IS NULL THEN exp.name END,
+                           ',' ORDER BY exp.idx), '') AS missing_cols
+FROM exp LEFT JOIN info ON exp.name = info.name
+""")
+def expected_columns_q(spark, sf_dir):
+    """Schema contract scored (reference
+    config/use_case_config.py:7-18): 'quality_score' is deliberately
+    absent from the documents fixture → score 5/6."""
+    return quality.expected_columns_presence(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars", "quality_score"])
+
+
+@register("q7_volume_shipping", f"""
+SELECT supp_nation, cust_nation, l_year,
+       round({_sum_cents_sql('volume')} / 100.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate <= TIMESTAMP '1996-12-31 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7(spark, sf_dir):
+    """TPC-H q7 shape: bidirectional nation-pair volume by year —
+    two broadcast joins against the same dimension under correlated
+    OR predicates."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    j = (li.filter((F.col("l_shipdate") >= "1995-01-01")
+                   & (F.col("l_shipdate") <= "1996-12-31"))
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.round(_sum_cents(vol) / 100.0, 2).alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q9_product_profit", f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round({_sum_cents_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             / 100.0, 2) AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gizmo%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+""")
+def q9(spark, sf_dir):
+    """TPC-H q9 shape (sans partsupp, absent from the testdata):
+    profit by supplier nation and order year over a part-name filter —
+    a 5-table star with the selective dimension broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gizmo"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(_sum_cents(profit) / 100.0, 2).alias("sum_profit"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q2_min_cost_supplier", """
+WITH cost AS (
+  SELECT l.l_partkey AS partkey, s.s_suppkey AS suppkey,
+         s.s_name AS s_name, n.n_name AS n_name,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4
+),
+best AS (SELECT partkey, min(unit_cost) AS best_cost
+         FROM cost GROUP BY partkey)
+SELECT p.p_partkey, p.p_name, c.s_name, c.n_name,
+       CAST(round(c.unit_cost * 100) AS BIGINT) AS unit_cost_cents
+FROM cost c
+JOIN best b ON b.partkey = c.partkey AND c.unit_cost = b.best_cost
+JOIN part p ON p.p_partkey = c.partkey
+WHERE p.p_size <= 10 AND p.p_type = 'SMALL'
+""")
+def q2(spark, sf_dir):
+    """TPC-H q2 shape: min-cost supplier per part — the correlated-min
+    pattern (aggregate, rejoin on the min) with region-filtered
+    supplier dimension broadcast. unit_cost from lineitem
+    (the testdata has no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+    dim = (s.join(F.broadcast(n.join(F.broadcast(r),
+                                     n.n_regionkey == r.r_regionkey)),
+                  s.s_nationkey == n.n_nationkey)
+           .select("s_suppkey", "s_name", "n_name"))
+    cost = (li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+            .groupBy(F.col("l_partkey").alias("partkey"),
+                     F.col("s_suppkey").alias("suppkey"),
+                     "s_name", "n_name")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("unit_cost")))
+    best = cost.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (cost.join(best, (cost.partkey == best.partkey)
+                      & (cost.unit_cost == best.best_cost))
+            .drop(best.partkey)
+            .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+            .select("p_partkey", "p_name", "s_name", "n_name",
+                    F.round(F.col("unit_cost") * 100).cast("long")
+                    .alias("unit_cost_cents")))

@@ -260,6 +260,29 @@ def test_rating_boundaries(spark):
     assert list(out.rating) == [1, 1, 2, 2, 3, 4, 5, 5]
 
 
+def test_identical_columns_positional_vs_multiset(spark):
+    # a and b are permutations (equal multisets, different positions)
+    rows = [(i, i % 3, (i + 1) % 3, i % 3) for i in range(9)]
+    df = spark.createDataFrame(rows, "k long, a long, b long, c long")
+    multi = quality.identical_columns(df, ["a", "b", "c"]).toPandas()
+    assert set(zip(multi.col_a, multi.col_b)) \
+        == {("a", "b"), ("a", "c"), ("b", "c")}
+    pos = quality.identical_columns_positional(
+        df, ["a", "b", "c"], key_col="k").toPandas()
+    assert set(zip(pos.col_a, pos.col_b)) == {("a", "c")}
+
+
+def test_expected_columns_presence(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    out = quality.expected_columns_presence(
+        df, ["a", "b", "c", "d"]).toPandas()
+    assert out.score[0] == 0.5
+    assert out.n_present[0] == 2
+    assert out.missing_cols[0] == "c,d"
+    full = quality.expected_columns_presence(df, ["a", "b"]).toPandas()
+    assert full.score[0] == 1.0 and full.missing_cols[0] == ""
+
+
 def test_multimodal_stub_roundtrip(spark):
     rows = [(1, bytes([0xFF, 0xD8, 0xFF]) + b"x" * 100),
             (2, bytes([0x89, 0x50, 0x4E, 0x47]) + b"y" * 50),

@@ -75,6 +75,24 @@ def test_metrics_dimensions_and_ratings(spark, pages_df):
     assert mets["rating"].between(1, 5).all()
 
 
+def test_metrics_details_map(spark, pages_df):
+    # the reference 3-tuple contract: (score, explanation, details)
+    out = run_quality_filter(spark, pages_df)
+    verdicts = out.verdicts.withColumn("warc_date", F.to_date("warc_ts"))
+    mets = dimension_metrics(verdicts, "warc_date")
+    assert dict(mets.dtypes)["details"] == "map<string,string>"
+    pdf = mets.toPandas()
+    comp = pdf[pdf.dimension == "completeness"].iloc[0]
+    assert set(comp.details.keys()) == {
+        "missing_url", "missing_warc_ts", "missing_text", "missing_lang"}
+    rep = pdf[pdf.dimension == "population_representativity"].iloc[0]
+    assert len(rep.details) >= 1
+    assert abs(sum(float(v) for v in rep.details.values()) - 1.0) < 1e-3
+    acc = pdf[pdf.dimension == "accuracy"].iloc[0]
+    assert all(k.startswith("flagged_") for k in acc.details)
+    assert pdf[pdf.dimension == "overall"].iloc[0].details == {}
+
+
 def test_metrics_semantic_coherence_oracle(spark, pages_df, pages_pdf,
                                            golden):
     out = run_quality_filter(spark, pages_df)
