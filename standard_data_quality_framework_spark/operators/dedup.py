@@ -325,6 +325,53 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Connected components (dup-cluster assignment)
+# ---------------------------------------------------------------------------
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """(id, label) — label = min node id reachable through ``edges``
+    (columns id_a/id_b), i.e. the canonical member of each duplicate
+    cluster.
+
+    Min-label propagation: each round every node adopts the minimum of
+    its own and its neighbours' labels — converges in O(component
+    diameter) rounds (duplicate clusters are near-cliques from LSH, so
+    usually 2-3). Each round is one shuffle join on uniform ids;
+    ``localCheckpoint`` truncates the growing lineage so round N+1
+    reads round N's materialized blocks instead of replaying the whole
+    history. The per-round convergence count is a scalar action, not a
+    data collect. This is the standard scalable CC (GraphFrames/
+    Pregel-style), replacing the reference's in-memory pandas
+    ``duplicated()`` global scan (quality_checks.py:245-275) at sizes
+    where the dataset does not fit one machine.
+    """
+    labels = (nodes.select(F.col("id"), F.col("id").alias("label"))
+              .localCheckpoint())
+    sym = (edges.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"))
+           .unionByName(edges.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst"))))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.dst == labels.id)
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        new = (labels.join(neigh, labels.id == neigh.src, "left")
+               .select(labels.id,
+                       F.least(F.col("label"),
+                               F.coalesce("nlabel", F.col("label")))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -615,8 +615,10 @@ def minhash_sigs(spark, sf_dir):
         n=5, num_hashes=16)
 
 
-@register("dedup_minhash_lsh", f"""
-WITH {_SHINGLE_CTE},
+# MinHash-LSH pair CTE chain (mirrors operators/dedup.py::
+# minhash_lsh_pairs at n=5, k=16, bands=4, threshold=0.5) — shared by
+# the pairs query and the global-dedup cluster query.
+_MH_PAIRS_CTE = f"""{_SHINGLE_CTE},
 seeds(seed, a, b) AS (VALUES {_minhash_seed_values()}),
 hx AS (
   SELECT doc_id, ({hash60_sql('shingle')} % {MERSENNE31}) AS x FROM sh
@@ -653,9 +655,16 @@ jac AS (
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-)
-SELECT cand.id_a, cand.id_b, jac.jaccard
-FROM cand JOIN jac ON cand.id_a = jac.id_a AND cand.id_b = jac.id_b
+),
+mh_pairs AS (
+  SELECT cand.id_a, cand.id_b, jac.jaccard
+  FROM cand JOIN jac ON cand.id_a = jac.id_a AND cand.id_b = jac.id_b
+)"""
+
+
+@register("dedup_minhash_lsh", f"""
+WITH {_MH_PAIRS_CTE}
+SELECT id_a, id_b, jaccard FROM mh_pairs
 """)
 def minhash_lsh(spark, sf_dir):
     out = dedup.minhash_lsh_pairs(
@@ -1568,3 +1577,38 @@ def q2(spark, sf_dir):
             .select("p_partkey", "p_name", "s_name", "n_name",
                     F.round(F.col("unit_cost") * 100).cast("long")
                     .alias("unit_cost_cents")))
+
+
+@register("global_dedup_clusters", f"""
+WITH RECURSIVE {_MH_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a
+)
+SELECT a AS id, min(b) AS cluster_id,
+       CAST(1 + a % 3 AS INT) AS day,
+       min(b) <> a AS is_dup
+FROM reach GROUP BY a
+""")
+def global_dedup_clusters_q(spark, sf_dir):
+    """Dataset-global near-dup clustering (the runner's global_dedup
+    stage): MinHash-LSH pairs → connected components, over documents
+    spread across 3 synthetic crawl days — cluster membership ignores
+    the day boundary, which is exactly what the in-pipeline per-day
+    dedup window cannot see. Oracle mirrors the component labels with
+    a recursive reachability CTE (min reachable id)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text",
+        (1 + F.col("doc_id") % 3).cast("int").alias("day"))
+    pairs = dedup.minhash_lsh_pairs(d, "id", "text", n=5,
+                                    num_hashes=16, bands=4, threshold=0.5)
+    labels = dedup.connected_components(d.select("id"), pairs)
+    return (d.select("id", "day").join(labels, "id")
+            .select("id", F.col("label").alias("cluster_id"), "day",
+                    (F.col("label") != F.col("id")).alias("is_dup")))

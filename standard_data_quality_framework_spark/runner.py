@@ -21,6 +21,7 @@ harmless: pending_dates reads the distinct partition_key set.)
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,7 @@ from .pipeline import run_quality_filter, with_partition_cols
 from .sources.catalog import ParquetCatalog
 
 STAGE = "quality_filter"
+GLOBAL_DEDUP_STAGE = "global_dedup"
 
 
 def pending_dates(catalog: ParquetCatalog, pages: DataFrame) -> DataFrame:
@@ -109,3 +111,83 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
     return {"run_id": run_id, "dates_processed": n_dates,
             "rows_in": n_in, "rows_kept": n_kept, "resumed": False,
             "observed": counters}
+
+
+def run_global_dedup(spark: SparkSession, warehouse: str,
+                     run_id: str | None = None, n: int = 5,
+                     num_hashes: int = 16, bands: int = 4,
+                     threshold: float = 0.85) -> dict:
+    """Cross-day near-duplicate clustering over the whole
+    ``pages_filtered`` warehouse table → ``dup_clusters``.
+
+    The in-pipeline exact-dup window is deliberately scoped to one
+    crawl day (pipeline.py with_verdict); this job supplies the
+    reference's DATASET-GLOBAL duplicate semantics
+    (/root/reference/src/quality_checks.py:245-275,
+    uc1_image_quality_checks.py:589-659) across all days at once:
+    MinHash-LSH candidate pairs on the kept text, verified Jaccard ≥
+    threshold, then connected components → one cluster id (the min
+    url) per near-dup group.
+
+    Resume contract: the unit of work is the SNAPSHOT — the sorted set
+    of warc_dates present in pages_filtered, fingerprinted into
+    ``partition_key``. A lineage row (stage=global_dedup, that key,
+    done) means dup_clusters is already current for exactly this day
+    set; re-running is a no-op, and adding a day changes the key so
+    the job re-runs. The dup_clusters write is a full idempotent
+    overwrite (clusters are global — any new day can merge old
+    clusters, so per-partition carry-over would be wrong).
+
+    Output table dup_clusters: (url, warc_date, cluster_id,
+    is_canonical, cluster_size).
+    """
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    catalog = ParquetCatalog(spark, warehouse)
+    pages = catalog.read("pages_filtered")
+
+    # day set = the snapshot identity; one tiny row per day (partition
+    # listing on a real Iceberg table), not a data collect
+    days = sorted(str(r[0]) for r in
+                  pages.select("warc_date").distinct().collect())
+    snap = hashlib.md5(",".join(days).encode()).hexdigest()[:16]
+
+    if catalog.exists("lineage"):
+        done = (catalog.read("lineage")
+                .filter((F.col("stage") == GLOBAL_DEDUP_STAGE)
+                        & (F.col("status") == "done")
+                        & (F.col("partition_key") == snap))
+                .count())
+        if done > 0:
+            return {"run_id": run_id, "snapshot": snap, "resumed": True}
+
+    docs = pages.select(F.col("url").alias("id"), "text", "warc_date")
+    pairs = minhash_lsh_pairs(docs, "id", "text", n=n,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    labels = connected_components(docs.select("id").distinct(), pairs)
+    csize = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    clusters = (docs.select("id", "warc_date")
+                .join(labels, "id")
+                .join(csize, "label")
+                .select(F.col("id").alias("url"), "warc_date",
+                        F.col("label").alias("cluster_id"),
+                        (F.col("id") == F.col("label"))
+                        .alias("is_canonical"),
+                        "cluster_size"))
+    # full overwrite, THEN the lineage commit — same barrier as run()
+    clusters.write.mode("overwrite").parquet(catalog.path("dup_clusters"))
+
+    out = catalog.read("dup_clusters")
+    n_rows = out.count()
+    n_clusters = out.filter("is_canonical").count()
+    lin = spark.createDataFrame(
+        [(run_id, GLOBAL_DEDUP_STAGE, snap, "done", n_rows, n_clusters)],
+        "run_id string, stage string, partition_key string, "
+        "status string, rows_in long, rows_out long") \
+        .withColumn("finished_ts", F.current_timestamp())
+    catalog.append(lin, "lineage")
+    return {"run_id": run_id, "snapshot": snap, "resumed": False,
+            "rows": n_rows, "clusters": n_clusters,
+            "dup_rows": n_rows - n_clusters}

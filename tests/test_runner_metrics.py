@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from standard_data_quality_framework_spark.config import DIMENSIONS
 from standard_data_quality_framework_spark.metrics import dimension_metrics
 from standard_data_quality_framework_spark.pipeline import run_quality_filter
-from standard_data_quality_framework_spark.runner import run
+from standard_data_quality_framework_spark.runner import (run,
+                                                           run_global_dedup)
 
 
 def test_resume_processes_only_pending_dates(spark, pages_df, tmp_path):
@@ -63,6 +64,48 @@ def test_replay_overwrites_metrics_not_appends(spark, pages_df, tmp_path):
     # the surviving rows are the replay's, not a mix
     assert [r.run_id for r in mets.select("run_id").distinct().collect()] \
         == ["r2"]
+
+
+def test_global_dedup_cross_day_clusters_and_resume(spark, pages_df,
+                                                    tmp_path):
+    wh = str(tmp_path / "whg")
+    run(spark, pages_df, wh, run_id="g1")
+
+    r1 = run_global_dedup(spark, wh, run_id="gd1", threshold=0.9)
+    assert not r1["resumed"]
+    clusters = spark.read.parquet(f"{wh}/dup_clusters")
+    n_pages = spark.read.parquet(f"{wh}/pages_filtered").count()
+    assert clusters.count() == n_pages  # every kept page gets a cluster
+    # canonical member == min url of its cluster
+    assert clusters.groupBy("cluster_id").agg(
+        F.min("url").alias("mn")).filter(
+        F.col("mn") != F.col("cluster_id")).count() == 0
+
+    # same snapshot → no-op resume
+    r2 = run_global_dedup(spark, wh, run_id="gd2", threshold=0.9)
+    assert r2["resumed"]
+
+    # a new crawl day with MIRRORS of already-kept pages arrives: the
+    # per-day pipeline window keeps them (no same-day dup), but the
+    # global job must re-run (snapshot changed) and cluster them with
+    # their cross-day originals
+    kept_urls = [r.url for r in spark.read.parquet(
+        f"{wh}/pages_filtered").select("url").orderBy("url")
+        .limit(5).collect()]
+    mirrors = (pages_df.filter(F.col("url").isin(kept_urls))
+               .select(F.concat("url", F.lit("#mirror")).alias("url"),
+                       (F.col("warc_ts")
+                        + F.expr("INTERVAL 40 DAYS")).alias("warc_ts"),
+                       "html", "text", "lang"))
+    run(spark, pages_df.unionByName(mirrors), wh, run_id="g2")
+    r3 = run_global_dedup(spark, wh, run_id="gd3", threshold=0.9)
+    assert not r3["resumed"]
+    c2 = spark.read.parquet(f"{wh}/dup_clusters")
+    cross_day = (c2.groupBy("cluster_id")
+                 .agg(F.count_distinct("warc_date").alias("nd"))
+                 .filter("nd > 1").count())
+    assert cross_day >= 1
+    assert c2.filter(~F.col("is_canonical")).count() >= 5
 
 
 def test_metrics_dimensions_and_ratings(spark, pages_df):
