@@ -102,6 +102,14 @@ def make_udfs(spark: SparkSession) -> dict:
         A single eval node keeps workers == tasks, and the caller
         coalesces (html, text) into ONE binary payload column so each
         doc crosses the JVM↔Python boundary exactly once.
+
+        Return-volume contract (the Python→JVM Arrow stream is the
+        other half of the ser/de bill): ``etext`` is returned ONLY for
+        html rows — for text rows it byte-equals the input text, so
+        the caller coalesces it back natively. ``scrubbed_text`` is
+        returned ONLY when the scrubber edited something (most docs
+        have no PII hits) — the caller coalesces null → etext. Both
+        halvings are exact, not approximations.
         """
         lid = b_lid.value
         lm = b_ppl.value
@@ -116,14 +124,14 @@ def make_udfs(spark: SparkSession) -> dict:
             lang, conf = lid.predict_one(et)
             a, b, c = repetition_signals(et)
             sc, ed = scrub(et)
-            cols["etext"].append(et)
+            cols["etext"].append(et if h else None)
             cols["lang_pred"].append(lang)
             cols["lang_conf"].append(conf)
             cols["perplexity"].append(lm.perplexity(et))
             cols["dup_line_frac"].append(a)
             cols["top2gram_frac"].append(b)
             cols["dup5gram_frac"].append(c)
-            cols["scrubbed_text"].append(sc)
+            cols["scrubbed_text"].append(sc if ed > 0 else None)
             cols["scrub_edits"].append(ed)
         out = pd.DataFrame(cols)
         out["scrub_edits"] = out["scrub_edits"].astype("int32")

@@ -225,7 +225,9 @@ def salted_domain_counts(df: DataFrame) -> DataFrame:
 @dataclass
 class PipelineOutput:
     verdicts: DataFrame  # full per-doc frame (signals + verdict + scrub)
-    kept: DataFrame      # filtered pages in input schema (text=scrubbed)
+    kept: DataFrame      # (url, warc_ts, text=scrubbed, lang=lang_pred,
+    #                       warc_date, url_bucket) — no html: the sink
+    #                       contract is verdict + scrubbed text per doc
 
 
 def run_quality_filter(spark: SparkSession, pages: DataFrame,
@@ -255,20 +257,36 @@ def run_quality_filter(spark: SparkSession, pages: DataFrame,
                                   "UTF-8"))
     df = pages.withColumn(
         "_p", udfs["process_page"](payload, F.col("html").isNotNull()))
-    for f in ("etext", "lang_pred", "lang_conf", "perplexity",
-              "dup_line_frac", "top2gram_frac", "dup5gram_frac",
-              "scrubbed_text", "scrub_edits"):
-        df = df.withColumn(f, F.col(f"_p.{f}"))
-    # raw `text` is never read downstream (etext is canonical, the kept
-    # sink re-emits scrubbed_text) — drop it before the verdict window
-    # so the dedup shuffle carries one less copy of the content
-    df = df.drop("_p", "text")
+    # Shuffle-width budget for the dedup window (the pipeline's ONE
+    # wide exchange): exactly one text copy per row crosses it —
+    #   * html/raw text are consumed by the UDF payload and dropped
+    #     here (the kept sink re-emits scrubbed text, not html);
+    #   * etext comes back over Arrow only for html rows (else it
+    #     byte-equals `text` — coalesced natively, zero copy);
+    #   * scrubbed_text rides as a mostly-null `_scrub_opt` column
+    #     (non-null only when the scrubber edited) and is coalesced
+    #     against etext AFTER the window.
+    df = df.select(
+        "url", "warc_ts", "lang",
+        F.coalesce(F.col("_p.etext"), F.col("text"), F.lit(""))
+        .alias("etext"),
+        F.col("_p.lang_pred").alias("lang_pred"),
+        F.col("_p.lang_conf").alias("lang_conf"),
+        F.col("_p.perplexity").alias("perplexity"),
+        F.col("_p.dup_line_frac").alias("dup_line_frac"),
+        F.col("_p.top2gram_frac").alias("top2gram_frac"),
+        F.col("_p.dup5gram_frac").alias("dup5gram_frac"),
+        F.col("_p.scrubbed_text").alias("_scrub_opt"),
+        F.col("_p.scrub_edits").alias("scrub_edits"))
     df = with_native_signals(df)
     df = with_verdict(df)
+    df = (df.withColumn("scrubbed_text",
+                        F.coalesce(F.col("_scrub_opt"), F.col("etext")))
+          .drop("_scrub_opt"))
     df = with_partition_cols(df)
 
     kept = (df.filter(F.col("keep"))
-            .select("url", "warc_ts", "html",
+            .select("url", "warc_ts",
                     F.col("scrubbed_text").alias("text"),
                     F.col("lang_pred").alias("lang"),
                     "warc_date", "url_bucket"))

@@ -80,7 +80,7 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
     verdicts = observed.persist()
     try:
         kept = (verdicts.filter(F.col("keep"))
-                .select("url", "warc_ts", "html",
+                .select("url", "warc_ts",
                         F.col("scrubbed_text").alias("text"),
                         F.col("lang_pred").alias("lang"),
                         "warc_date", "url_bucket"))
