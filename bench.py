@@ -24,13 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "user_sessions",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_neardup_lsh",
+    "global_dedup_clusters",
     "ann_topk_bruteforce",
     "token_stats_documents",
     "quality_scores_documents",
+    "metrics_details_documents",
     "pipeline_verdict_documents",
 ]
 

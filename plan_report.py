@@ -29,6 +29,18 @@ AUDIT = [
     ("dedup_minhash_lsh", ["HashAggregate"]),
     ("ann_topk_bruteforce", ["BroadcastNestedLoopJoin|BroadcastHashJoin"]),
     ("pipeline_verdict_documents", ["Window"]),
+    ("q2_min_cost_supplier", ["BroadcastHashJoin"]),
+    ("q9_product_profit", ["BroadcastHashJoin"]),
+    ("q7_volume_shipping", ["BroadcastHashJoin"]),
+]
+
+# plans that must NOT contain a cartesian/nested-loop product — the
+# scale contract for the LSH-bucketed pair generators (VERDICT r1 #2)
+FORBID = [
+    ("embedding_neardup_lsh", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("dedup_simhash_pairs", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("dedup_minhash_lsh", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    ("dedup_ngram_jaccard", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
 ]
 
 
@@ -47,6 +59,7 @@ def main() -> None:
     sections = []
     checks = []
 
+    import re
     for name, wants in AUDIT:
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
@@ -54,10 +67,19 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue()
         sections.append((name, plan))
-        import re
         for w in wants:
             ok = bool(re.search(w, plan))
             checks.append((name, w, ok))
+
+    for name, banned in FORBID:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        for w in banned:
+            ok = not re.search(w, plan)
+            checks.append((name, f"NO {w}", ok))
 
     # full pipeline plan
     p = os.path.join(tempfile.mkdtemp(), "pages.parquet")

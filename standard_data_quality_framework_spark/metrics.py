@@ -164,40 +164,48 @@ def dimension_metrics(verdicts: DataFrame,
     empty_map = F.map_from_entries(
         F.array().cast("array<struct<key:string,value:string>>"))
 
-    rows = []
-    for dim in DIMENSIONS:
+    # ONE wide row per group → explode into the long format. (A union
+    # of per-dimension selects re-aggregates the verdicts frame once
+    # per dimension — 9 full passes over the data at scale; this is a
+    # single aggregation + an 9-element array explode.)
+    def _entry(dim: str) -> F.Column:
         # explanations are part of the reference's check contract —
         # every (score, explanation) tuple, e.g. quality_checks.py:54-57
         expl = F.format_string(
             "%s score %.4f over %d docs (%d dropped)",
             F.lit(dim), F.col(dim).cast("double"),
             F.col("docs_scanned"), F.col("docs_dropped"))
-        rows.append(wide.select(
-            "partition_key", F.lit(dim).alias("dimension"),
+        return F.struct(
+            F.lit(dim).alias("dimension"),
             F.col(dim).cast("double").alias("score"),
             bucket_rating(F.col(dim)).alias("rating"),
-            "docs_scanned", "docs_dropped", "scrub_edit_count",
             expl.alias("explanation"),
-            detail_exprs.get(dim, empty_map).alias("details")))
-    long = rows[0]
-    for r in rows[1:]:
-        long = long.unionByName(r)
+            detail_exprs.get(dim, empty_map).alias("details"))
 
-    overall = (long.groupBy("partition_key")
-               .agg(F.avg("score").alias("score"),
-                    F.avg(F.col("rating").cast("double")).alias("_avg_r"),
-                    F.first("docs_scanned").alias("docs_scanned"),
-                    F.first("docs_dropped").alias("docs_dropped"),
-                    F.first("scrub_edit_count").alias("scrub_edit_count"))
-               .select("partition_key", F.lit("overall").alias("dimension"),
-                       "score",
-                       F.round("_avg_r").cast("int").alias("rating"),
-                       "docs_scanned", "docs_dropped", "scrub_edit_count",
-                       F.format_string(
-                           "overall: mean of %d dimension ratings",
-                           F.lit(len(DIMENSIONS))).alias("explanation"),
-                       empty_map.alias("details")))
-    return long.unionByName(overall)
+    n_dims = len(DIMENSIONS)
+    overall_score = sum(F.col(d).cast("double")
+                        for d in DIMENSIONS) / n_dims
+    overall_rating = F.round(
+        sum(bucket_rating(F.col(d)).cast("double")
+            for d in DIMENSIONS) / n_dims).cast("int")
+    overall = F.struct(
+        F.lit("overall").alias("dimension"),
+        overall_score.alias("score"),
+        overall_rating.alias("rating"),
+        F.lit(f"overall: mean of {n_dims} dimension ratings")
+        .alias("explanation"),
+        empty_map.alias("details"))
+
+    entries = F.array(*[_entry(d) for d in DIMENSIONS], overall)
+    return (wide.select("partition_key", "docs_scanned", "docs_dropped",
+                        "scrub_edit_count", F.explode(entries).alias("e"))
+            .select("partition_key",
+                    F.col("e.dimension").alias("dimension"),
+                    F.col("e.score").alias("score"),
+                    F.col("e.rating").alias("rating"),
+                    "docs_scanned", "docs_dropped", "scrub_edit_count",
+                    F.col("e.explanation").alias("explanation"),
+                    F.col("e.details").alias("details")))
 
 
 def dropped_by_rule(verdicts: DataFrame,
