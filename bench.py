@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "embedding_neardup_lsh",
     "global_dedup_clusters",
     "ann_topk_bruteforce",
+    "ann_ivf_probed",
+    "winnowing_fingerprints_documents",
     "token_stats_documents",
     "quality_scores_documents",
     "metrics_details_documents",

@@ -30,6 +30,7 @@ AUDIT = [
     ("ann_topk_bruteforce", ["BroadcastNestedLoopJoin|BroadcastHashJoin"]),
     ("pipeline_verdict_documents", ["Window"]),
     ("q2_min_cost_supplier", ["BroadcastHashJoin"]),
+    ("ann_ivf_probed", ["BroadcastHashJoin"]),
     ("q9_product_profit", ["BroadcastHashJoin"]),
     ("q7_volume_shipping", ["BroadcastHashJoin"]),
 ]

@@ -88,3 +88,68 @@ def lsh_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str,
+               vec_col: str, rank: int = 1) -> DataFrame:
+    """(id, cell, rank) — each vector's `rank` nearest centroids by
+    cosine (ties break on the smaller cell id). centroids must be a
+    SMALL frame (cell, cv: array<double>) — it is broadcast."""
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    scored = (v.crossJoin(F.broadcast(centroids))
+              .select("id", "cell",
+                      _cos(F.col("v"), F.col("cv")).alias("_cos")))
+    w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.asc("cell"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rank)
+            .select("id", "cell", "rank"))
+
+
+def ivf_centroids_by_id(df: DataFrame, id_col: str, vec_col: str,
+                        n_cells: int) -> DataFrame:
+    """Deterministic coarse quantizer: the n_cells lowest-id vectors
+    become the cell centroids. A k-means quantizer plugs into the same
+    (cell, cv) contract; this choice keeps the structure exactly
+    reproducible in the SQL oracle (and is the classic 'random sample
+    as seeds' initialization)."""
+    return (df.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).cast("long").alias("cell"),
+                    F.col(vec_col).cast("array<double>").alias("cv")))
+
+
+def ivf_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
+            vec_col: str, k: int = 5, n_cells: int = 8,
+            n_probe: int = 2) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_cells
+    inverted lists (one equi-join key per vector), probe each query's
+    n_probe nearest cells, rank exact cosine inside the probed lists.
+
+    Scale shape: the corpus side is ONE pass to assign cells (small
+    broadcast of centroids), the query side explodes to n_probe rows,
+    and the candidate fetch is a plain hash join on `cell` — expected
+    cost |corpus| · n_probe / n_cells per query, never a cartesian.
+    """
+    cents = ivf_centroids_by_id(candidates, id_col, vec_col, n_cells)
+    c_assign = ivf_assign(candidates, cents, id_col, vec_col, rank=1) \
+        .select(F.col("id").alias("neighbor_id"), "cell")
+    q_assign = ivf_assign(queries, cents, id_col, vec_col, rank=n_probe) \
+        .select(F.col("id").alias("query_id"), "cell")
+    c = (candidates.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).cast("array<double>").alias("cv"))
+         .join(c_assign, "neighbor_id"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .join(q_assign, "query_id"))
+    # no distinct needed: each corpus vector lives in exactly ONE cell
+    # (rank=1 assignment), so a (query, neighbor) pair matches at most
+    # one probed cell
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(_cos(F.col("qv"), F.col("cv")), 4)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -122,3 +122,36 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str,
         F.array_min(F.transform(grams, lambda g: hash60(g)))
         .alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8, w: int = 4) -> DataFrame:
+    """(id, fp) — winnowing document fingerprints (MOSS-style local
+    sampling of char-k-gram hashes; Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-char gram, slide a w-gram window, keep
+    the MINIMUM hash of each window, emit the distinct kept hashes.
+
+    Guarantee: any shared substring of length ≥ k + w − 1 between two
+    docs contributes at least one IDENTICAL fingerprint to both — an
+    equi-joinable key for plagiarism/quotation-grade overlap detection,
+    denser than minhash (which samples globally) but position-robust
+    unlike the single doc_fingerprint hash.
+
+    Entirely row-local (nested array lambdas — no explode before the
+    final distinct-set emit), so the shuffle carries ~len(text)/w
+    longs per doc. Recast of the reference's content-hash duplicate
+    intent (uc1_image_quality_checks.py:589-659) for partial overlap.
+    """
+    t = F.col(text_col)
+    n_grams = F.length(t) - (k - 1)
+    khashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: hash60(t.substr(i, F.lit(k))))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_grams - (w - 1)),
+        lambda s: F.array_min(F.slice(khashes, s, w)))
+    fps = (F.when(n_grams >= w, F.array_distinct(wins))
+           .otherwise(F.array().cast("array<long>")))
+    return (df.select(F.col(id_col).alias("id"), fps.alias("fps"))
+            .filter(F.size("fps") > 0)
+            .select("id", F.explode("fps").alias("fp")))

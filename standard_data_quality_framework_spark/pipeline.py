@@ -1,7 +1,9 @@
 """The end-to-end quality-filter pipeline: one declarative DataFrame DAG.
 
-    pages ─ extract ─ signals ─ verdict ─ scrub ─┬─ kept pages sink
-                                                 └─ metrics sink
+    pages ─ fused UDF (extract+langid+ppl+repetition+scrub)
+          ─ native signals ─ verdict (per-day dedup window)
+          ─┬─ kept pages sink (url, warc_ts, scrubbed text, lang)
+           └─ metrics sink
 
 Design notes (scale-first):
   * ONE pass: every per-document signal is computed in a single
@@ -235,14 +237,14 @@ def run_quality_filter(spark: SparkSession, pages: DataFrame,
                        parallelism: int | None = None) -> PipelineOutput:
     """Build the full lazy DAG. No actions are triggered here.
 
-    ``parallelism``: optional explicit fan-out before the model stage.
-    The signal stage costs ~ms/doc of Python-UDF CPU — orders of
-    magnitude more per byte than a normal scan — so byte-based split
-    sizing (spark.sql.files.maxPartitionBytes) underestimates the task
-    count badly when the input arrives as few/large files. A round-
-    robin repartition here costs one shuffle of the raw rows and buys
-    full-cluster fan-out; on a many-file Iceberg table whose scan
-    already yields ≥ cluster-cores splits, leave it None.
+    ``parallelism``: optional explicit fan-out before the model stage —
+    a LAST RESORT for inputs that genuinely cannot yield enough scan
+    splits (one giant unsplittable file). The repartition shuffles the
+    raw html+text bytes and measured 2.2× slower than scan-fed
+    execution on a 1M-page input (133s vs 59s at 16 cores). The right
+    fix when the input is splittable is a smaller
+    spark.sql.files.maxPartitionBytes (the UDF costs ~ms/doc of CPU,
+    so byte-based 128 MB splits under-fan the scan); leave this None.
     """
     udfs = udfs or make_udfs(spark)
     if parallelism:

@@ -1612,3 +1612,78 @@ def global_dedup_clusters_q(spark, sf_dir):
     return (d.select("id", "day").join(labels, "id")
             .select("id", F.col("label").alias("cluster_id"), "day",
                     (F.col("label") != F.col("id")).alias("is_dup")))
+
+
+@register("winnowing_fingerprints_documents", f"""
+WITH kh AS (
+  SELECT doc_id,
+         [{hash60_sql('substr(text, i, 8)')}
+          FOR i IN generate_series(1, len(text) - 7)] AS h
+  FROM documents
+  WHERE len(text) >= 8
+),
+wins AS (
+  SELECT doc_id,
+         [list_min(h[s:s+3]) FOR s IN generate_series(1, len(h) - 3)] AS w
+  FROM kh
+  WHERE len(h) >= 4
+),
+flat AS (SELECT doc_id, UNNEST(w) AS fp FROM wins)
+SELECT DISTINCT doc_id AS id, fp FROM flat
+""")
+def winnowing_q(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (k=8 char grams, window 4):
+    any ≥11-char shared substring yields an identical fingerprint in
+    both docs — the equi-joinable partial-overlap key."""
+    from ..operators.textstats import winnowing_fingerprints
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, w=4)
+
+
+_IVF_COS = ("list_dot_product(v.e, c.cv) / (sqrt(list_dot_product(v.e, v.e))"
+            " * sqrt(list_dot_product(c.cv, c.cv)))")
+
+@register("ann_ivf_probed", f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id < 16),
+ca AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell) AS rnk
+    FROM v CROSS JOIN cents c
+  ) WHERE rnk = 1
+),
+qa AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell) AS rnk
+    FROM v CROSS JOIN cents c
+    WHERE v.vec_id < 8
+  ) WHERE rnk <= 2
+),
+scored AS (
+  SELECT qa.query_id, ca.neighbor_id,
+         round(list_dot_product(qv.e, cv.e)
+               / (sqrt(list_dot_product(qv.e, qv.e))
+                  * sqrt(list_dot_product(cv.e, cv.e))), 4) AS cos_sim
+  FROM qa
+  JOIN ca ON ca.cell = qa.cell AND ca.neighbor_id <> qa.query_id
+  JOIN v qv ON qv.vec_id = qa.query_id
+  JOIN v cv ON cv.vec_id = ca.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def ann_ivf_q(spark, sf_dir):
+    """IVF ANN: 16 deterministic centroid cells (lowest vec_ids — the
+    quantizer contract is pluggable, see similarity.ivf_centroids_by_id),
+    corpus assigned rank-1, queries probe their 2 nearest cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_ann(emb, q, "vec_id", "embedding",
+                              k=5, n_cells=16, n_probe=2)

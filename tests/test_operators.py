@@ -156,6 +156,43 @@ def test_lsh_ann_recall(spark, emb):
     assert recall > 0.2  # sanity floor; bench reports the real number
 
 
+def test_winnowing_shared_substring(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, "AAAA " + shared + " BBBB"),
+            (1, "CCCC " + shared + " DDDD"),
+            (2, "zzz unrelated qqq www")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fp = textstats.winnowing_fingerprints(df, "id", "text",
+                                          k=8, w=4).toPandas()
+    s = {i: set(fp[fp.id == i].fp) for i in range(3)}
+    # winnowing guarantee: a shared substring of length >= k+w-1 (11)
+    # contributes at least one identical fingerprint to both docs
+    assert s[0] & s[1]
+    assert len(s[0] & s[2]) == 0
+    # short text below k chars yields no fingerprints, not an error
+    tiny = spark.createDataFrame([(9, "short")], "id long, text string")
+    assert textstats.winnowing_fingerprints(
+        tiny, "id", "text", k=8, w=4).count() == 0
+
+
+def test_ivf_ann_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding",
+                                   k=3).toPandas()
+    approx = similarity.ivf_ann(emb, q, "vec_id", "embedding",
+                                k=3, n_cells=6, n_probe=3).toPandas()
+    assert not approx.empty
+    assert approx.groupby("query_id")["rank"].max().le(3).all()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(e & a) / len(e) > 0.2
+    # every corpus vector lands in exactly one inverted list
+    cents = similarity.ivf_centroids_by_id(emb, "vec_id", "embedding", 6)
+    assign = similarity.ivf_assign(emb, cents, "vec_id", "embedding")
+    assert assign.count() == emb.count()
+    assert assign.select("id").distinct().count() == emb.count()
+
+
 def test_token_stats_matches_python(spark, docs):
     out = textstats.token_stats(docs, "doc_id", "text").toPandas() \
         .set_index("id")
