@@ -112,6 +112,14 @@ DIMENSIONS: list[str] = [
     "metadata_granularity",
 ]
 
+# --- schema contract ---------------------------------------------------------
+# Expected input columns for the quality-filter use case — the scored
+# schema-presence check (reference: config/use_case_config.py:7-18
+# expected_columns per use case). runner.run() scores the input frame
+# against this list (operators/quality.py::expected_columns_presence)
+# and reports it in the run summary.
+EXPECTED_PAGE_COLUMNS: list[str] = ["url", "warc_ts", "html", "text", "lang"]
+
 # --- partitioning / scale knobs ---------------------------------------------
 N_URL_BUCKETS = 64        # bucket(N, xxhash64(url)) — co-locates per-url ops
 SALT_BUCKETS = 16         # salting factor for skewed-domain aggregations

@@ -55,10 +55,22 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
     run_id = run_id or uuid.uuid4().hex[:12]
     catalog = ParquetCatalog(spark, warehouse)
 
+    # scored schema-presence check against the use-case contract
+    # (config.EXPECTED_PAGE_COLUMNS) — plan-time, no data pass
+    from .config import EXPECTED_PAGE_COLUMNS
+    from .operators.quality import expected_columns_presence
+    schema_row = expected_columns_presence(
+        pages, EXPECTED_PAGE_COLUMNS).first()
+    if schema_row.score < 1.0:
+        raise ValueError(
+            f"input is missing expected columns: {schema_row.missing_cols} "
+            f"(schema presence {schema_row.score})")
+
     todo = pending_dates(catalog, pages)
     n_dates = todo.count()
     if n_dates == 0:
-        return {"run_id": run_id, "dates_processed": 0, "resumed": True}
+        return {"run_id": run_id, "dates_processed": 0, "resumed": True,
+                "schema_presence": float(schema_row.score)}
 
     # restrict input to pending partitions (broadcast the small date set
     # — partition pruning at the scan on a real Iceberg table)
@@ -110,7 +122,8 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
         verdicts.unpersist()
     return {"run_id": run_id, "dates_processed": n_dates,
             "rows_in": n_in, "rows_kept": n_kept, "resumed": False,
-            "observed": counters}
+            "observed": counters,
+            "schema_presence": float(schema_row.score)}
 
 
 def run_global_dedup(spark: SparkSession, warehouse: str,

@@ -9,11 +9,13 @@ path is configuration, not code:
     (requires iceberg-spark-runtime on the classpath — not available
     in this sandbox, gated behind a capability probe).
   * ``ParquetCatalog`` provides the same commit semantics on plain
-    parquet: partitioned layout (``warc_date=.../``), append-only
-    metrics/lineage tables via unique-file append (parquet part files
-    with a run-scoped name → atomic visibility on rename-capable
-    filesystems), and idempotent partition overwrite via Spark's
-    dynamic partitionOverwriteMode.
+    parquet: partitioned layout (``warc_date=.../``), an append-only
+    lineage table via unique-file append (parquet part files with a
+    run-scoped name → atomic visibility on rename-capable
+    filesystems), and idempotent per-partition overwrite via Spark's
+    dynamic partitionOverwriteMode — used for pages_filtered AND the
+    metrics/dropped_by_rule tables (keyed by stage × partition_key) so
+    crash replays replace rather than double-count.
 """
 
 from __future__ import annotations

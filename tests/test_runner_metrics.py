@@ -66,6 +66,14 @@ def test_replay_overwrites_metrics_not_appends(spark, pages_df, tmp_path):
         == ["r2"]
 
 
+def test_schema_presence_guard(spark, pages_df, tmp_path):
+    r = run(spark, pages_df, str(tmp_path / "whs"), run_id="s1")
+    assert r["schema_presence"] == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing expected columns"):
+        run(spark, pages_df.drop("lang"), str(tmp_path / "whs2"))
+
+
 def test_global_dedup_cross_day_clusters_and_resume(spark, pages_df,
                                                     tmp_path):
     wh = str(tmp_path / "whg")
