@@ -191,6 +191,7 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
                         "cluster_size"))
     # full overwrite, THEN the lineage commit — same barrier as run()
     clusters.write.mode("overwrite").parquet(catalog.path("dup_clusters"))
+    labels.unpersist()  # release the CC result's checkpoint blocks
 
     out = catalog.read("dup_clusters")
     n_rows = out.count()
