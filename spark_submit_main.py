@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="local[N] cores (omit on a real cluster)")
     p.add_argument("--streaming", action="store_true",
                    help="incremental mode via Structured Streaming")
+    p.add_argument("--global-dedup", action="store_true",
+                   help="cross-day near-dup clustering over the "
+                        "warehouse's pages_filtered → dup_clusters")
+    p.add_argument("--dedup-threshold", type=float, default=0.85)
     args = p.parse_args(argv)
 
     from standard_data_quality_framework_spark.session import get_spark
@@ -45,6 +49,15 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.warehouse}/_checkpoints", trigger_once=True)
         q.awaitTermination()
         print(json.dumps({"mode": "streaming", "status": "done"}))
+        return 0
+
+    if args.global_dedup:
+        from standard_data_quality_framework_spark.runner import (
+            run_global_dedup)
+        summary = run_global_dedup(spark, args.warehouse,
+                                   run_id=args.run_id,
+                                   threshold=args.dedup_threshold)
+        print(json.dumps(summary))
         return 0
 
     from standard_data_quality_framework_spark.runner import run

@@ -94,3 +94,87 @@ def decode_media(df: DataFrame, id_col: str, bin_col: str,
     src = df.select(F.col(id_col).alias(id_name),
                     F.col(bin_col).alias("_bin"))
     return src.mapInPandas(_decode, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = ("id long, frame_idx int, frame_off long, "
+                "frame_len int, frame_feat array<double>")
+
+
+def sample_frames(df: DataFrame, id_col: str, bin_col: str,
+                  n_frames: int = 4, frame_bytes: int = 4096) -> DataFrame:
+    """Video-style frame sampling: ONE blob row → n_frames output rows
+    (the 1→N mapInPandas shape every video pipeline needs — a real
+    decoder swaps the chunk step for keyframe extraction; the sampling
+    positions, batch shape and output schema stay identical).
+
+    Frames are sampled at evenly-spaced byte offsets; each emits a
+    deterministic 4-dim feature from its bytes so the distributed
+    round-trip is assertable without codec libs. Short/None blobs emit
+    zero rows (not nulls) — downstream joins see only decodable frames.
+    """
+    id_name = id_col
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_name], pdf["_bin"]):
+                if blob is None:
+                    continue
+                data = bytes(blob)
+                if len(data) < frame_bytes:
+                    continue
+                step = max((len(data) - frame_bytes) // max(n_frames - 1, 1),
+                           1)
+                for i in range(n_frames):
+                    off = min(i * step, len(data) - frame_bytes)
+                    chunk = data[off:off + frame_bytes]
+                    s = sum(chunk[:256])
+                    rows.append((rid, i, off, len(chunk),
+                                 [float(len(chunk)), float(s % 997),
+                                  float(chunk[0]), float(chunk[-1])]))
+            yield pd.DataFrame(rows, columns=[
+                "id", "frame_idx", "frame_off", "frame_len", "frame_feat"])
+
+    src = df.select(F.col(id_col).alias(id_name),
+                    F.col(bin_col).alias("_bin"))
+    return src.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = ("id long, n_bytes long, est_duration_s double, "
+                "rms double, peak int")
+
+
+def audio_stats(df: DataFrame, id_col: str, bin_col: str,
+                sample_rate: int = 16000,
+                bytes_per_sample: int = 2) -> DataFrame:
+    """Audio-style stats over binary cells: duration estimate from the
+    byte length (real once a demuxer reports the true rate) plus RMS /
+    peak computed over the raw bytes interpreted as unsigned samples —
+    a REAL distributed computation with a fake interpretation,
+    replaced wholesale by a decoder without touching the plan."""
+    id_name = id_col
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_name], pdf["_bin"]):
+                if blob is None:
+                    rows.append((rid, 0, 0.0, 0.0, 0))
+                    continue
+                data = bytes(blob)
+                n = len(data)
+                dur = n / (sample_rate * bytes_per_sample)
+                if n:
+                    acc = sum(b * b for b in data[:65536])
+                    rms = math.sqrt(acc / min(n, 65536))
+                    peak = max(data[:65536])
+                else:
+                    rms, peak = 0.0, 0
+                rows.append((rid, n, round(dur, 6), round(rms, 6), peak))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_bytes", "est_duration_s", "rms", "peak"])
+
+    src = df.select(F.col(id_col).alias(id_name),
+                    F.col(bin_col).alias("_bin"))
+    return src.mapInPandas(_stats, AUDIO_SCHEMA)

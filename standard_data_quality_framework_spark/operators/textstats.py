@@ -137,21 +137,29 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     denser than minhash (which samples globally) but position-robust
     unlike the single doc_fingerprint hash.
 
-    Entirely row-local (nested array lambdas — no explode before the
-    final distinct-set emit), so the shuffle carries ~len(text)/w
-    longs per doc. Recast of the reference's content-hash duplicate
-    intent (uc1_image_quality_checks.py:589-659) for partial overlap.
+    Shape: the k-gram hash array is computed ONCE per row, position-
+    exploded, and the per-window minimum comes from a frame-bounded
+    window function (ROWS w-1 PRECEDING) partitioned by the uniform
+    doc id. Deliberately NOT a nested array-lambda: higher-order
+    functions are CodegenFallback with no common-subexpression
+    elimination, so `slice(khashes, s, w)` inside a second transform
+    re-evaluates the whole k-gram hash array per window — O(len²) per
+    doc (observed as a wedged single task on 10 KB docs).
+    Recast of the reference's content-hash duplicate intent
+    (uc1_image_quality_checks.py:589-659) for partial overlap.
     """
+    from pyspark.sql import Window
     t = F.col(text_col)
     n_grams = F.length(t) - (k - 1)
-    khashes = F.transform(
+    khashes = (F.when(n_grams >= w, F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: hash60(t.substr(i, F.lit(k))))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_grams - (w - 1)),
-        lambda s: F.array_min(F.slice(khashes, s, w)))
-    fps = (F.when(n_grams >= w, F.array_distinct(wins))
-           .otherwise(F.array().cast("array<long>")))
-    return (df.select(F.col(id_col).alias("id"), fps.alias("fps"))
-            .filter(F.size("fps") > 0)
-            .select("id", F.explode("fps").alias("fp")))
+        lambda i: hash60(t.substr(i, F.lit(k)))))
+        .otherwise(F.array().cast("array<long>")))
+    pos_h = df.select(F.col(id_col).alias("id"),
+                      F.posexplode(khashes).alias("pos", "h"))
+    win = (Window.partitionBy("id").orderBy("pos")
+           .rowsBetween(-(w - 1), 0))
+    return (pos_h.withColumn("_wmin", F.min("h").over(win))
+            .filter(F.col("pos") >= w - 1)
+            .select("id", F.col("_wmin").alias("fp"))
+            .distinct())

@@ -1616,20 +1616,17 @@ def global_dedup_clusters_q(spark, sf_dir):
 
 @register("winnowing_fingerprints_documents", f"""
 WITH kh AS (
-  SELECT doc_id,
-         [{hash60_sql('substr(text, i, 8)')}
-          FOR i IN generate_series(1, len(text) - 7)] AS h
-  FROM documents
-  WHERE len(text) >= 8
+  SELECT doc_id, i - 1 AS pos, {hash60_sql('substr(text, i, 8)')} AS h
+  FROM documents, UNNEST(generate_series(1, len(text) - 7)) AS u(i)
+  WHERE len(text) >= 11
 ),
-wins AS (
-  SELECT doc_id,
-         [list_min(h[s:s+3]) FOR s IN generate_series(1, len(h) - 3)] AS w
+win AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
   FROM kh
-  WHERE len(h) >= 4
-),
-flat AS (SELECT doc_id, UNNEST(w) AS fp FROM wins)
-SELECT DISTINCT doc_id AS id, fp FROM flat
+)
+SELECT DISTINCT doc_id AS id, wmin AS fp FROM win WHERE pos >= 3
 """)
 def winnowing_q(spark, sf_dir):
     """MOSS-style winnowing fingerprints (k=8 char grams, window 4):

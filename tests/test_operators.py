@@ -337,3 +337,24 @@ def test_multimodal_stub_roundtrip(spark):
     assert dec.loc[1, "byte_len"] == 103
     assert dec.loc[3, "kind"] == "missing"
     assert len(dec.loc[1, "feat"]) == 4
+
+
+def test_multimodal_frame_sampling_and_audio(spark):
+    rows = [(1, bytes(range(256)) * 100),   # 25,600 bytes → 4 frames
+            (2, b"tiny"),                   # below frame size → 0 rows
+            (3, None)]                      # missing → 0 rows
+    df = spark.createDataFrame(rows, "id long, blob binary").repartition(3)
+    fr = multimodal.sample_frames(df, "id", "blob",
+                                  n_frames=4, frame_bytes=4096).toPandas()
+    assert set(fr.id) == {1}
+    assert sorted(fr.frame_idx) == [0, 1, 2, 3]      # 1 row → 4 frames
+    assert (fr.frame_len == 4096).all()
+    assert fr.frame_off.is_monotonic_increasing
+    assert fr.frame_off.max() == 25600 - 4096        # last frame at tail
+    assert fr.frame_feat.map(len).eq(4).all()
+
+    au = multimodal.audio_stats(df, "id", "blob").toPandas().set_index("id")
+    assert au.loc[1, "n_bytes"] == 25600
+    assert au.loc[1, "est_duration_s"] == 0.8        # 25600/(16000*2)
+    assert au.loc[1, "peak"] == 255
+    assert au.loc[3, "n_bytes"] == 0
