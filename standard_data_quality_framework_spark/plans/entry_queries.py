@@ -1684,3 +1684,31 @@ def ann_ivf_q(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_ann(emb, q, "vec_id", "embedding",
                               k=5, n_cells=16, n_probe=2)
+
+
+@register("multimodal_frame_offsets", """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 256
+),
+f AS (
+  SELECT doc_id, i,
+         least(i * greatest((n - 256) // 2, 1), n - 256) AS off
+  FROM b, UNNEST([0, 1, 2]) AS u(i)
+)
+SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+       CAST(off AS BIGINT) AS frame_off, 256 AS frame_len
+FROM f
+""")
+def multimodal_frames_q(spark, sf_dir):
+    """The video frame-sampling PLUMBING oracle: treat each doc's utf8
+    bytes as an opaque blob and verify the distributed 1→N sampling
+    geometry (row fan-out, offsets, lengths) exactly; only the stubbed
+    feature kernel is excluded (pytest covers its determinism)."""
+    from ..operators.multimodal import sample_frames
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return (sample_frames(d, "doc_id", "blob", n_frames=3,
+                          frame_bytes=256)
+            .select("id", "frame_idx", "frame_off", "frame_len"))
