@@ -180,7 +180,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 5, num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs verified with exact Jaccard.
 
     bands × rows = num_hashes; docs agreeing on ALL rows of any band
@@ -215,6 +216,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                           .alias("bb"))
               .select("id", F.col("bb.band").alias("band"),
                       F.col("bb.band_sig").alias("band_sig")))
+    if max_bucket_size is not None:
+        # hot-bucket guard: a band signature shared by B docs emits
+        # B(B-1)/2 candidates — one boilerplate cluster of 10^5 docs
+        # would alone emit 5·10^9 join rows. Buckets above the cap are
+        # dropped from CANDIDATE GENERATION only (members still pair
+        # through their other, more selective bands); at web scale
+        # such mega-buckets are template clusters better handled by
+        # exact_duplicates on the template hash.
+        w = Window.partitionBy("band", "band_sig")
+        banded = (banded.withColumn("_bsz", F.count("*").over(w))
+                  .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -75,6 +75,24 @@ def test_minhash_lsh_leaves_no_cached_rdds(spark, docs):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    # 12 identical docs share every band bucket (a template cluster);
+    # the cap drops those buckets from candidate generation entirely,
+    # while a small distinct near-dup pair still gets found
+    tmpl = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"
+    rows = [(i, tmpl) for i in range(12)]
+    rows += [(100, "one two three four five six seven eight"),
+             (101, "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text", n=3,
+                                       threshold=0.5).toPandas()
+    assert len(uncapped) == 12 * 11 // 2 + 1
+    capped = dedup.minhash_lsh_pairs(df, "doc_id", "text", n=3,
+                                     threshold=0.5,
+                                     max_bucket_size=5).toPandas()
+    assert set(zip(capped.id_a, capped.id_b)) == {(100, 101)}
+
+
 def test_simhash_near_vs_far(spark, docs):
     sig = dedup.simhash(docs, "doc_id", "text", n_bits=16).toPandas() \
         .set_index("id")["simhash"]
