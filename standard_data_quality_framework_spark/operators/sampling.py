@@ -1,0 +1,85 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Everything here is HASH-based, never RNG-based: membership is a pure
+function of (salt, key), so splits are reproducible across runs,
+engines, cluster sizes and partitionings — the property a 10^12-doc
+training pipeline actually needs (Bernoulli `sample()` changes with
+partitioning and seeds are engine-specific, so it cannot be
+oracle-checked or resumed). All operators are narrow (no shuffle
+except the tiny per-class rate aggregation in balanced_resample).
+
+Ties SDQF's population-representativity metric (quality.py::
+representativity_* — reference quality_checks.py:25-43) to the ACTION
+a pipeline takes when the score is poor: resample the over-represented
+classes down to balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: F.Column, salt: str) -> F.Column:
+    """Uniform bucket in [0, 1e6) from the 60-bit salted key hash."""
+    return F.pmod(hash60(F.concat_ws("␟", F.lit(salt),
+                                     key.cast("string"))),
+                  F.lit(_BUCKETS))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float] | None = None,
+               salt: str = "split") -> DataFrame:
+    """Add a `split` column assigning each row to exactly one named
+    split by cumulative weight ranges over the salted id hash.
+
+    Deterministic: the same id lands in the same split forever (new
+    data never reshuffles old assignments — the anti-leak property for
+    train/test). Weights are normalized; expected (not exact) sizes.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = _bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = b < int(round(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn("split", expr)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ~fraction of rows (salted-hash Bernoulli)."""
+    return df.filter(_bucket(F.col(id_col), salt)
+                     < int(round(fraction * _BUCKETS)))
+
+
+def balanced_resample(df: DataFrame, class_col: str, id_col: str,
+                      salt: str = "balance") -> DataFrame:
+    """Downsample every class to the size of the SMALLEST class
+    (in expectation), deterministically.
+
+    Per-class keep-rate = min_class_count / class_count, applied with
+    the salted id hash — the corrective action for a failing
+    representativity score (quality_checks.py:25-43): after
+    resampling, E[class counts] are equal, score → 1.0. The rate
+    frame is one tiny aggregation broadcast back onto a narrow filter.
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("_n"))
+    rates = (counts.crossJoin(counts.agg(F.min("_n").alias("_min_n")))
+             .select(class_col,
+                     (F.col("_min_n") / F.col("_n")).alias("_rate")))
+    b = _bucket(F.col(id_col), salt)
+    return (df.join(F.broadcast(rates), class_col)
+            .filter(b < F.round(F.col("_rate") * _BUCKETS).cast("long"))
+            .drop("_rate"))

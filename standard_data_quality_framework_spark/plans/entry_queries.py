@@ -1712,3 +1712,45 @@ def multimodal_frames_q(spark, sf_dir):
     return (sample_frames(d, "doc_id", "blob", n_frames=3,
                           frame_bytes=256)
             .select("id", "frame_idx", "frame_off", "frame_len"))
+
+
+def _bucket_sql(key_expr: str, salt: str) -> str:
+    h = hash60_sql(f"'{salt}' || '␟' || CAST({key_expr} AS VARCHAR)")
+    return f"({h}) % 1000000"
+
+
+@register("hash_split_documents", f"""
+SELECT doc_id,
+       CASE WHEN {_bucket_sql('doc_id', 'split')} < 800000 THEN 'train'
+            WHEN {_bucket_sql('doc_id', 'split')} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def hash_split_q(spark, sf_dir):
+    """Deterministic train/val/test assignment (salted-hash ranges):
+    the same doc_id lands in the same split forever — reproducible
+    across engines, runs and partitionings (which Bernoulli sample()
+    is not)."""
+    from ..operators.sampling import hash_split
+    return hash_split(_t(spark, sf_dir, "documents"), "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
+@register("balanced_resample_documents", f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM counts),
+r AS (SELECT lang, mn * 1.0 / n AS rate FROM counts, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE {_bucket_sql('d.doc_id', 'balance')}
+      < CAST(round(rate * 1000000) AS BIGINT)
+""")
+def balanced_resample_q(spark, sf_dir):
+    """The ACTION behind a failing representativity score
+    (quality_checks.py:25-43): deterministically downsample every lang
+    class to the smallest class's expected size."""
+    from ..operators.sampling import balanced_resample
+    return balanced_resample(_t(spark, sf_dir, "documents"),
+                             "lang", "doc_id") \
+        .select("doc_id", "lang")

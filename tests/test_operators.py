@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from standard_data_quality_framework_spark.operators import (
-    dedup, multimodal, quality, similarity, textstats)
+    dedup, multimodal, quality, sampling, similarity, textstats)
 
 DOCS = [
     (0, "the cat sat on the mat and then the cat sat down again today"),
@@ -245,6 +245,40 @@ def test_doc_fingerprint_dup_pair(spark, docs):
         .set_index("id")["fingerprint"]
     assert out[0] == out[1]
     assert out[0] != out[3]
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = sampling.hash_split(df, "k").toPandas()
+    # exactly one split per row; fractions near the 90/5/5 weights
+    mix = a.split.value_counts(normalize=True)
+    assert abs(mix["train"] - 0.9) < 0.03
+    assert abs(mix["val"] - 0.05) < 0.02
+    assert abs(mix["test"] - 0.05) < 0.02
+    # repartitioning / re-running never moves a row between splits
+    b = sampling.hash_split(df.repartition(13), "k").toPandas()
+    assert a.sort_values("k").split.tolist() \
+        == b.sort_values("k").split.tolist()
+    # a different salt produces a different (still valid) assignment
+    c = sampling.hash_split(df, "k", salt="other").toPandas()
+    assert a.sort_values("k").split.tolist() \
+        != c.sort_values("k").split.tolist()
+
+
+def test_balanced_resample_equalizes_classes(spark):
+    rows = [(i, "big") for i in range(900)] + \
+           [(i + 1000, "mid") for i in range(300)] + \
+           [(i + 2000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, cls string")
+    out = sampling.balanced_resample(df, "cls", "k").toPandas()
+    counts = out.cls.value_counts()
+    assert counts["small"] == 100           # rate 1.0 — kept verbatim
+    for c in ("big", "mid"):                # E[n] = 100, binomial spread
+        assert 60 <= counts[c] <= 140, counts
+    # deterministic under re-partitioning
+    again = sampling.balanced_resample(
+        df.repartition(7), "cls", "k").toPandas()
+    assert sorted(again.k) == sorted(out.k)
 
 
 # --- generic quality checks (reference formula parity) ----------------------
