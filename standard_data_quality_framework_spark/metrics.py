@@ -57,6 +57,12 @@ def dimension_metrics(verdicts: DataFrame,
     behind each ratio score.
     """
     g = F.col(group_col).cast("string").alias("partition_key")
+    # ONE coherence predicate shared by the score and its detail
+    # counter (null etext → not coherent on BOTH sides; a bare
+    # `length(etext) > 0` is null for null etext, which _flag would
+    # count as clean in the detail while the score counts it bad)
+    _etext = F.coalesce(F.col("etext"), F.lit(""))
+    coherent = (F.length(_etext) > 0) & ~_etext.contains("�")
     presence = {
         "url": F.col("url").isNotNull(),
         "warc_ts": F.col("warc_ts").isNotNull(),
@@ -73,9 +79,7 @@ def dimension_metrics(verdicts: DataFrame,
             "drop_reasons",
             F.array(*[F.lit(r) for r in _RANGE_RULES]))))
          / F.count("*")).alias("accuracy"),
-        (F.sum(_flag((F.length("etext") > 0)
-                     & ~F.col("etext").contains("�")))
-         / F.count("*")).alias("coherence"),
+        (F.sum(_flag(coherent)) / F.count("*")).alias("coherence"),
         (F.lit(1.0) - F.sum(_flag(F.array_contains(
             "drop_reasons", "exact_dup"))) / F.count("*"))
         .alias("semantic_coherence"),
@@ -93,9 +97,7 @@ def dimension_metrics(verdicts: DataFrame,
           .alias(f"_flag_{r}") for r in _RANGE_RULES],
         F.sum(_flag(F.array_contains("drop_reasons", "exact_dup")))
         .alias("_n_exact_dup"),
-        F.sum(_flag(~((F.length("etext") > 0)
-                      & ~F.col("etext").contains("�"))))
-        .alias("_n_bad_decode"),
+        F.sum(_flag(~coherent)).alias("_n_bad_decode"),
         F.count_distinct("url").alias("_n_distinct_urls"),
         F.sum(_flag(F.col("url").isNotNull()
                     & F.col("warc_ts").isNotNull()
@@ -104,7 +106,11 @@ def dimension_metrics(verdicts: DataFrame,
     )
 
     # population representativity (A3, total-deviation) over lang_pred
-    counts = (verdicts.groupBy(g, "lang_pred")
+    # — nulls dropped BEFORE counting classes, matching the reference's
+    # remove-NA step (quality_checks.py valid_data): null is missing
+    # data (a completeness problem), not a population class
+    counts = (verdicts.filter(F.col("lang_pred").isNotNull())
+              .groupBy(g, "lang_pred")
               .agg(F.count("*").alias("n")))
     rep = counts.groupBy("partition_key").agg(
         F.count("*").alias("k"),
@@ -132,14 +138,22 @@ def dimension_metrics(verdicts: DataFrame,
                    .groupBy("partition_key")
                    .agg(F.map_from_entries(F.array_sort(F.collect_list(
                        F.struct(
-                           F.coalesce(F.col("lang_pred"), F.lit("null"))
-                           .alias("key"),
+                           F.col("lang_pred").alias("key"),
                            F.round(F.col("n") / F.col("total"), 6)
                            .cast("string").alias("value")))))
                        .alias("_rep_details")))
 
+    # a group whose lang_pred is ALL null has no rep rows at all —
+    # score 0.0 (nothing representable), empty details
+    _empty_details = F.map_from_entries(
+        F.array().cast("array<struct<key:string,value:string>>"))
     wide = (base.join(rep_score, "partition_key", "left")
-            .join(rep_details, "partition_key", "left"))
+            .join(rep_details, "partition_key", "left")
+            .withColumn("population_representativity",
+                        F.coalesce("population_representativity",
+                                   F.lit(0.0)))
+            .withColumn("_rep_details",
+                        F.coalesce("_rep_details", _empty_details)))
 
     def _m(*pairs) -> F.Column:
         kv = []

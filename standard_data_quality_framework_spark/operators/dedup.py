@@ -140,11 +140,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def _hashed_sets(ss: DataFrame) -> DataFrame:
-    """(id, hset: array<long>) — 60-bit-hashed shingle set per doc."""
+    """(id, hset: array<long>) — 31-bit-hashed shingle SET per doc.
+
+    ``array_distinct`` keeps hset a true set: two distinct shingles
+    colliding into one 31-bit value would otherwise make hset a
+    multiset whose size() counts duplicates while array_intersect
+    dedups, skewing the verified Jaccard. Post-distinct the computed
+    score equals the exact string-shingle Jaccard unless a collision
+    merges set elements (~|set|²/2³¹ per doc — negligible), which is
+    the documented hashed-Jaccard approximation."""
     return ss.select(
         "id",
-        F.transform("shingles",
-                    lambda s: F.pmod(hash60(s), F.lit(MERSENNE31)))
+        F.array_distinct(
+            F.transform("shingles",
+                        lambda s: F.pmod(hash60(s), F.lit(MERSENNE31))))
         .alias("hset"))
 
 
@@ -383,6 +392,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new
         if changed == 0:
             break
+    else:
+        # exiting by exhaustion with changed > 0 breaks the documented
+        # 'label = min reachable id' invariant (and downstream
+        # is_canonical) — never return partial labels silently
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); labels are "
+            "PARTIAL — raise max_iter for graphs with diameter > "
+            f"{max_iter}", RuntimeWarning, stacklevel=2)
     sym.unpersist()
     return labels
 

