@@ -42,6 +42,9 @@ FORBID = [
     ("dedup_simhash_pairs", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("dedup_minhash_lsh", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("dedup_ngram_jaccard", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # winnowing is fully row-local (shifted-slice sliding min): the r2
+    # per-char posexplode+window shape shuffled ~n_chars rows per doc
+    ("winnowing_fingerprints_documents", ["Exchange"]),
 ]
 
 

@@ -137,29 +137,49 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     denser than minhash (which samples globally) but position-robust
     unlike the single doc_fingerprint hash.
 
-    Shape: the k-gram hash array is computed ONCE per row, position-
-    exploded, and the per-window minimum comes from a frame-bounded
-    window function (ROWS w-1 PRECEDING) partitioned by the uniform
-    doc id. Deliberately NOT a nested array-lambda: higher-order
-    functions are CodegenFallback with no common-subexpression
-    elimination, so `slice(khashes, s, w)` inside a second transform
-    re-evaluates the whole k-gram hash array per window — O(len²) per
-    doc (observed as a wedged single task on 10 KB docs).
+    Shape (shuffle-FREE — zero exchanges): the k-gram hash array is
+    computed ONCE per row behind a projection boundary (the alias is
+    non-cheap and referenced w times, so CollapseProject keeps the
+    boundary instead of inlining w copies), then the sliding minimum
+    over the w-window is the element-wise ``least`` of w SHIFTED
+    ``slice``s of that array — row-local, then ``array_distinct`` +
+    ``explode``. The round-1 design posexploded one row per CHARACTER
+    through an Exchange into a window function (a multi-PB shuffle at
+    100 TB of text); this computes the identical fingerprint set with
+    no Exchange at all. Deliberately NOT a nested per-window
+    array-lambda either: higher-order functions are CodegenFallback
+    with no common-subexpression elimination, so `slice(khashes, s,
+    w)` inside a second transform re-evaluates the whole k-gram hash
+    array per window — O(len²) per doc (observed as a wedged single
+    task on 10 KB docs). The w-way zip_with tree evaluates each slice
+    child exactly once.
     Recast of the reference's content-hash duplicate intent
     (uc1_image_quality_checks.py:589-659) for partial overlap.
     """
-    from pyspark.sql import Window
     t = F.col(text_col)
     n_grams = F.length(t) - (k - 1)
     khashes = (F.when(n_grams >= w, F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: hash60(t.substr(i, F.lit(k)))))
         .otherwise(F.array().cast("array<long>")))
-    pos_h = df.select(F.col(id_col).alias("id"),
-                      F.posexplode(khashes).alias("pos", "h"))
-    win = (Window.partitionBy("id").orderBy("pos")
-           .rowsBetween(-(w - 1), 0))
-    return (pos_h.withColumn("_wmin", F.min("h").over(win))
-            .filter(F.col("pos") >= w - 1)
-            .select("id", F.col("_wmin").alias("fp"))
-            .distinct())
+    kh = df.select(F.col(id_col).alias("id"), khashes.alias("_kh"))
+
+    n_windows = F.size("_kh") - (w - 1)
+    shifted = [F.slice("_kh", j + 1, n_windows) for j in range(w)]
+    wmin = shifted[0]
+    for s in shifted[1:]:
+        wmin = F.zip_with(wmin, s, lambda a, b: F.least(a, b))
+    # the when() guard (not just upstream emptiness) matters: slice
+    # with a non-positive length throws, and the optimizer may evaluate
+    # this projection on rows the khashes guard zeroed out
+    fps = (F.when(F.size("_kh") >= w, F.array_distinct(wmin))
+           .otherwise(F.array().cast("array<long>")))
+    # explode_OUTER, then drop the null rows above the Generate: a
+    # plain explode lets InferFiltersFromGenerate push a
+    # `size(_fps) > 0` filter below both projections, inlining ~10
+    # copies of the md5 k-gram transform into one interpreted filter
+    # condition (measured 12× slower); outer + isNotNull keeps the
+    # filter on the generated column, above the boundary
+    return (kh.select("id", fps.alias("_fps"))
+            .select("id", F.explode_outer("_fps").alias("fp"))
+            .filter(F.col("fp").isNotNull()))
