@@ -118,9 +118,45 @@ def ivf_centroids_by_id(df: DataFrame, id_col: str, vec_col: str,
                     F.col(vec_col).cast("array<double>").alias("cv")))
 
 
+def ivf_centroids_kmeans(df: DataFrame, id_col: str, vec_col: str,
+                         n_cells: int, n_iter: int = 2) -> DataFrame:
+    """Spherical-k-means coarse quantizer: deterministic lowest-id
+    seeds (ivf_centroids_by_id) refined by a FIXED number of Lloyd
+    rounds — cosine assignment, element-wise mean update, components
+    rounded to 6 dp so the result is bit-reproducible across engines
+    and partitionings (floating-point sum order varies otherwise).
+    Empty cells keep their previous centroid. Fixed n_iter (no
+    convergence test) keeps the whole structure SQL-mirrorable: the
+    DuckDB oracle unrolls the same rounds.
+
+    Scale shape per round: one broadcast-assign pass over the corpus
+    (|corpus| × n_cells cosines) + one (cell, dim)-keyed aggregation —
+    both uniform keys; n_cells × dim stays tiny. Against the same
+    (cell, cv) contract as ivf_centroids_by_id, so ivf_ann takes
+    either."""
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    cents = ivf_centroids_by_id(df, id_col, vec_col, n_cells)
+    for _ in range(n_iter):
+        assign = ivf_assign(v, cents, "id", "v", rank=1).select("id", "cell")
+        means = (v.join(assign, "id")
+                 .select("cell", F.posexplode("v").alias("dim", "x"))
+                 .groupBy("cell", "dim")
+                 .agg(F.round(F.avg("x"), 6).alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                      .alias("s"))
+                 .select("cell",
+                         F.transform("s", lambda st: st["m"]).alias("_new")))
+        cents = (cents.withColumnRenamed("cv", "_old")
+                 .join(means, "cell", "left")
+                 .select("cell", F.coalesce("_new", "_old").alias("cv")))
+    return cents
+
+
 def ivf_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, k: int = 5, n_cells: int = 8,
-            n_probe: int = 2) -> DataFrame:
+            n_probe: int = 2, kmeans_iters: int = 0) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_cells
     inverted lists (one equi-join key per vector), probe each query's
     n_probe nearest cells, rank exact cosine inside the probed lists.
@@ -129,8 +165,15 @@ def ivf_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
     broadcast of centroids), the query side explodes to n_probe rows,
     and the candidate fetch is a plain hash join on `cell` — expected
     cost |corpus| · n_probe / n_cells per query, never a cartesian.
+    ``kmeans_iters > 0`` refines the seed centroids with that many
+    Lloyd rounds (ivf_centroids_kmeans) — better-balanced cells, same
+    plan shape.
     """
-    cents = ivf_centroids_by_id(candidates, id_col, vec_col, n_cells)
+    if kmeans_iters > 0:
+        cents = ivf_centroids_kmeans(candidates, id_col, vec_col,
+                                     n_cells, n_iter=kmeans_iters)
+    else:
+        cents = ivf_centroids_by_id(candidates, id_col, vec_col, n_cells)
     c_assign = ivf_assign(candidates, cents, id_col, vec_col, rank=1) \
         .select(F.col("id").alias("neighbor_id"), "cell")
     q_assign = ivf_assign(queries, cents, id_col, vec_col, rank=n_probe) \

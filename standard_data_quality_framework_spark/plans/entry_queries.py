@@ -1686,6 +1686,85 @@ def ann_ivf_q(spark, sf_dir):
                               k=5, n_cells=16, n_probe=2)
 
 
+def _kmeans_cells_sql(n_cells: int, n_iter: int) -> str:
+    """Unrolled spherical-k-means CTE chain c0 → c{n_iter} (the SQL
+    mirror of similarity.ivf_centroids_kmeans: fixed rounds, 6-dp
+    rounded means, empty cells carry the previous centroid)."""
+    cos = ("list_dot_product(v.e, c.cv) / (sqrt(list_dot_product(v.e, v.e))"
+           " * sqrt(list_dot_product(c.cv, c.cv)))")
+    parts = [f"c0 AS (SELECT vec_id AS cell, e AS cv FROM v "
+             f"WHERE vec_id < {n_cells})"]
+    for i in range(n_iter):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos} DESC, c.cell) AS rnk
+    FROM v CROSS JOIN c{i} c
+  ) WHERE rnk = 1
+),
+m{i} AS (
+  SELECT a{i}.cell, u.i AS dim, round(avg(v.e[u.i]), 6) AS m
+  FROM a{i} JOIN v USING (vec_id),
+       UNNEST(generate_series(1, len(v.e))) AS u(i)
+  GROUP BY a{i}.cell, u.i
+),
+c{i + 1} AS (
+  SELECT c{i}.cell, coalesce(l.cv, c{i}.cv) AS cv
+  FROM c{i} LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cv
+                       FROM m{i} GROUP BY cell) l USING (cell)
+)""")
+    return ",\n".join(parts)
+
+
+@register("ann_ivf_kmeans", f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+{_kmeans_cells_sql(16, 2)},
+ca AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell) AS rnk
+    FROM v CROSS JOIN c2 c
+  ) WHERE rnk = 1
+),
+qa AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cell) AS rnk
+    FROM v CROSS JOIN c2 c
+    WHERE v.vec_id < 8
+  ) WHERE rnk <= 2
+),
+scored AS (
+  SELECT qa.query_id, ca.neighbor_id,
+         round(list_dot_product(qv.e, cv.e)
+               / (sqrt(list_dot_product(qv.e, qv.e))
+                  * sqrt(list_dot_product(cv.e, cv.e))), 4) AS cos_sim
+  FROM qa
+  JOIN ca ON ca.cell = qa.cell AND ca.neighbor_id <> qa.query_id
+  JOIN v qv ON qv.vec_id = qa.query_id
+  JOIN v cv ON cv.vec_id = ca.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""")
+def ann_ivf_kmeans_q(spark, sf_dir):
+    """IVF ANN with a k-means-refined quantizer (judge r2 task #6):
+    lowest-id seeds + 2 deterministic Lloyd rounds (cosine assignment,
+    6-dp-rounded means, empty-cell carryover), corpus assigned rank-1,
+    queries probe their 2 nearest cells. The oracle unrolls the same
+    two rounds in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_ann(emb, q, "vec_id", "embedding",
+                              k=5, n_cells=16, n_probe=2, kmeans_iters=2)
+
+
 @register("multimodal_frame_offsets", """
 WITH b AS (
   SELECT doc_id, octet_length(encode(text)) AS n
