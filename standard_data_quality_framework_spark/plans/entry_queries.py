@@ -1793,6 +1793,112 @@ def multimodal_frames_q(spark, sf_dir):
             .select("id", "frame_idx", "frame_off", "frame_len"))
 
 
+@register("crawl_diff_documents", """
+WITH prev AS (
+  SELECT doc_id AS key, md5(text) AS prev_hash
+  FROM documents WHERE doc_id % 7 <> 0
+),
+curr AS (
+  SELECT doc_id AS key,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+         AS curr_hash
+  FROM documents WHERE doc_id % 11 <> 3
+)
+SELECT coalesce(p.key, c.key) AS key,
+       CASE WHEN p.prev_hash IS NULL THEN 'added'
+            WHEN c.curr_hash IS NULL THEN 'removed'
+            WHEN p.prev_hash = c.curr_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       p.prev_hash AS prev_hash, c.curr_hash AS curr_hash
+FROM prev p FULL OUTER JOIN curr c ON p.key = c.key
+""")
+def crawl_diff_q(spark, sf_dir):
+    """SCD2-style snapshot diff (judge r2 task #10): previous vs
+    current crawl of the same url set — added/removed/changed/
+    unchanged by content hash, one full-outer join on the uniform
+    key. Snapshots synthesized deterministically from documents:
+    prev drops doc_id%7==0, curr drops doc_id%11==3 and edits
+    doc_id%5==0."""
+    from ..operators.snapshot import crawl_diff
+    d = _t(spark, sf_dir, "documents")
+    prev = (d.filter(F.col("doc_id") % 7 != 0)
+            .select(F.col("doc_id").alias("k"), F.col("text").alias("c")))
+    curr = (d.filter(F.col("doc_id") % 11 != 3)
+            .select(F.col("doc_id").alias("k"),
+                    F.when(F.col("doc_id") % 5 == 0,
+                           F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text")).alias("c")))
+    return crawl_diff(prev, curr, "k", "c")
+
+
+_SCD2_SNAPS_SQL = """
+  SELECT doc_id AS key, '2024-01-01' AS ts, text AS content
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '2024-01-02',
+         CASE WHEN doc_id % 3 = 0 THEN text || ' upd' ELSE text END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '2024-01-03',
+         CASE WHEN doc_id % 9 = 0 THEN text
+              WHEN doc_id % 3 = 0 THEN text || ' upd'
+              ELSE text END
+  FROM documents
+"""
+
+
+@register("scd2_history_documents", f"""
+WITH snaps AS ({_SCD2_SNAPS_SQL}),
+d AS (
+  SELECT key, ts, md5(content) AS content_hash,
+         lag(md5(content)) OVER (PARTITION BY key ORDER BY ts) AS pv
+  FROM snaps
+),
+f AS (
+  SELECT key, ts, content_hash,
+         sum(CASE WHEN pv IS NULL OR pv <> content_hash
+                  THEN 1 ELSE 0 END)
+         OVER (PARTITION BY key ORDER BY ts) AS version
+  FROM d
+),
+runs AS (
+  SELECT key, version, content_hash, min(ts) AS effective_from
+  FROM f GROUP BY key, version, content_hash
+),
+r2 AS (
+  SELECT *, lead(effective_from)
+            OVER (PARTITION BY key ORDER BY version) AS effective_to
+  FROM runs
+)
+SELECT key, content_hash, CAST(version AS BIGINT) AS version,
+       effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM r2
+""")
+def scd2_history_q(spark, sf_dir):
+    """SCD2 validity ranges over three synthesized crawls of every
+    document (day2 edits doc_id%3==0, day3 reverts doc_id%9==0 —
+    the revert must open a NEW version, type-2 semantics)."""
+    from ..operators.snapshot import scd2_history
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.select(F.col("doc_id").alias("k"),
+                  F.lit("2024-01-01").alias("ts"),
+                  F.col("text").alias("c"))
+    s2 = d.select(F.col("doc_id").alias("k"),
+                  F.lit("2024-01-02").alias("ts"),
+                  F.when(F.col("doc_id") % 3 == 0,
+                         F.concat(F.col("text"), F.lit(" upd")))
+                  .otherwise(F.col("text")).alias("c"))
+    s3 = d.select(F.col("doc_id").alias("k"),
+                  F.lit("2024-01-03").alias("ts"),
+                  F.when(F.col("doc_id") % 9 == 0, F.col("text"))
+                  .when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.col("text"), F.lit(" upd")))
+                  .otherwise(F.col("text")).alias("c"))
+    snaps = s1.unionByName(s2).unionByName(s3)
+    return scd2_history(snaps, "k", "ts", "c")
+
+
 def _bucket_sql(key_expr: str, salt: str) -> str:
     h = hash60_sql(f"'{salt}' || '␟' || CAST({key_expr} AS VARCHAR)")
     return f"({h}) % 1000000"

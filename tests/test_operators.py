@@ -442,3 +442,29 @@ def test_ivf_kmeans_quantizer_recall_and_determinism(spark):
     assign = similarity.ivf_assign(
         emb, spark.createDataFrame(a), "vec_id", "embedding")
     assert assign.count() == emb.count()
+
+
+def test_scd2_history_revert_opens_new_version(spark):
+    from standard_data_quality_framework_spark.operators.snapshot import (
+        crawl_diff, scd2_history)
+    snaps = spark.createDataFrame(
+        [(1, "d1", "A"), (1, "d2", "B"), (1, "d3", "A"),  # A→B→A revert
+         (2, "d1", "X"), (2, "d2", "X"), (2, "d3", "X")],  # never changes
+        "key long, ts string, content string")
+    h = scd2_history(snaps, "key", "ts", "content").toPandas()
+    k1 = h[h.key == 1].sort_values("version")
+    assert list(k1.version) == [1, 2, 3]  # revert = NEW version
+    assert list(k1.effective_from) == ["d1", "d2", "d3"]
+    assert list(k1.effective_to)[:2] == ["d2", "d3"]
+    assert list(k1.is_current) == [False, False, True]
+    k2 = h[h.key == 2]
+    assert len(k2) == 1 and k2.iloc[0].is_current
+
+    prev = spark.createDataFrame([(1, "A"), (2, "B"), (3, "C")],
+                                 "key long, content string")
+    curr = spark.createDataFrame([(1, "A"), (2, "B2"), (4, "D")],
+                                 "key long, content string")
+    d = crawl_diff(prev, curr, "key", "content").toPandas() \
+        .set_index("key")["status"]
+    assert d[1] == "unchanged" and d[2] == "changed"
+    assert d[3] == "removed" and d[4] == "added"
