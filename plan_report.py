@@ -102,6 +102,46 @@ def main() -> None:
                    f"ArrowEvalPython eval nodes = {n_arrow} (want exactly 1)",
                    n_arrow == 1))
 
+    # runtime AQE skew-split evidence: execute a Zipf-skewed domain
+    # join with reachable thresholds and capture the FINAL adaptive
+    # plan (the runtime half of the skew story; compile-time half is
+    # salted_domain_counts). Mirrors tests/test_skew_aqe.py.
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+    }.items():
+        spark.conf.set(k, v)
+    from pyspark.sql import functions as F
+    big = spark.range(60_000).select(
+        F.when(F.col("id") % 100 < 85, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("tail-"),
+                            (F.col("id") % 500).cast("string"),
+                            F.lit(".example.org"))).alias("domain"),
+        F.concat(F.lit("p" * 300), F.col("id").cast("string"))
+        .alias("payload"))
+    dim = spark.range(501).select(
+        F.when(F.col("id") == 0, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("tail-"),
+                            (F.col("id") - 1).cast("string"),
+                            F.lit(".example.org"))).alias("domain"),
+        (F.col("id") % 7).alias("domain_tier"))
+    joined = big.join(dim, "domain")
+    joined.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain()
+    skew_plan = buf.getvalue()
+    checks.append(("aqe_skew_domain_join", "isFinalPlan=true",
+                   "isFinalPlan=true" in skew_plan))
+    checks.append(("aqe_skew_domain_join", "skew=true",
+                   "skew=true" in skew_plan))
+    sections.append(("aqe_skew_domain_join (final adaptive plan, "
+                     "executed)", skew_plan))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical-plan audit\n\n")
         f.write("Property checks (run `python plan_report.py` to "

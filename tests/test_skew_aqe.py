@@ -1,0 +1,66 @@
+"""AQE skew-join evidence (judge r2 task #8): a Zipf-skewed domain
+join must trigger adaptive skew-partition splitting — the runtime
+half of the north rule's skew story (the compile-time half is the
+salted two-phase aggregation in pipeline.salted_domain_counts)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+_SKEW_CONF = {
+    # force a sort-merge join and make the thresholds reachable at
+    # test scale; on a real cluster the defaults (256 MB / 5x) play
+    # the same role at partition sizes that actually hurt
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+}
+
+
+@pytest.fixture()
+def skew_conf(spark):
+    old = {k: spark.conf.get(k, None) for k in _SKEW_CONF}
+    for k, v in _SKEW_CONF.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_domain_join(spark, skew_conf):
+    n = 60_000
+    # Zipf-ish: 85% of pages on one hot domain, tail over 500 others
+    big = spark.range(n).select(
+        F.when(F.col("id") % 100 < 85, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("tail-"),
+                            (F.col("id") % 500).cast("string"),
+                            F.lit(".example.org"))).alias("domain"),
+        F.concat(F.lit("p" * 300), F.col("id").cast("string"))
+        .alias("payload"))
+    dim = (spark.range(501).select(
+        F.when(F.col("id") == 0, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("tail-"),
+                            (F.col("id") - 1).cast("string"),
+                            F.lit(".example.org"))).alias("domain"),
+        (F.col("id") % 7).alias("domain_tier")))
+    joined = big.join(dim, "domain")
+
+    # execute THIS frame (count()/write wrap it in a new
+    # QueryExecution whose final plan we can't read back), then read
+    # the final adaptive plan off the same DataFrame
+    assert len(joined.collect()) == n
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain()
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan
