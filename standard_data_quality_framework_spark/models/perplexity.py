@@ -35,17 +35,25 @@ class PerplexityModel:
         toks = text.lower().split()[:_MAX_WORDS]
         if len(toks) < 2:
             return float(self.total)  # degenerate: max-ish penalty
+        # locals for the per-token loop (UDF hot path): attribute and
+        # global lookups per token cost ~15% of the whole scorer
+        bi_get = self.bi.get
+        uni = self.uni
+        uni_get = uni.get
+        total = self.total
+        alpha_floor = _ALPHA * self.floor
+        log = math.log
         logp = 0.0
         n = 0
         prev = toks[0]
         for w in toks[1:]:
-            cb = self.bi.get((prev, w))
+            cb = bi_get((prev, w))
             if cb:
-                p = cb / self.uni[prev]
+                p = cb / uni[prev]
             else:
-                cu = self.uni.get(w)
-                p = _ALPHA * (cu / self.total) if cu else _ALPHA * self.floor
-            logp += math.log(p)
+                cu = uni_get(w)
+                p = _ALPHA * (cu / total) if cu else alpha_floor
+            logp += log(p)
             n += 1
             prev = w
         return float(math.exp(-logp / n))
