@@ -17,6 +17,14 @@ Two entry points:
       1-day event-time windows + watermark over the verdict stream,
       emitting (window, docs, dropped) — the metrics table fed
       incrementally instead of per-run.
+
+  streaming_exact_dedup — CUSTOM STATEFUL operator
+      (applyInPandasWithState): cross-micro-batch first-occurrence
+      dedup keyed by content hash. The batch pipeline's dedup window
+      sees one crawl day at a time; this keeps the canonical id per
+      content hash in the state store, so a document re-crawled three
+      epochs later is still flagged — the streaming analogue of the
+      global dedup job for the EXACT-duplicate tier.
 """
 
 from __future__ import annotations
@@ -62,6 +70,58 @@ def run_streaming_filter(spark: SparkSession, input_dir: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DEDUP_OUT_SCHEMA = ("id string, content_hash string, is_dup boolean, "
+                    "kept_id string")
+DEDUP_STATE_SCHEMA = "kept_id string"
+
+
+def streaming_exact_dedup(spark: SparkSession, input_dir: str,
+                          id_col: str = "url",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-micro-batch exact dedup: (id, content_hash, is_dup,
+    kept_id), state = the canonical id per content hash.
+
+    Semantics (deterministic under any batching): the FIRST micro-batch
+    that sees a content hash keeps its min id; every other occurrence —
+    same batch or any later batch — is a duplicate of that kept id.
+    State is one short string per distinct content (bounded by distinct
+    corpus size, uniform hash key → even state-store partitioning; a
+    production run adds a TTL timeout for bounded retention).
+
+    Returns the unstarted streaming frame — caller picks sink/trigger.
+    """
+    import pandas as pd  # noqa: F811 (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(input_dir))
+    keyed = stream.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"))
+
+    def _dedup(key, pdf_iter, state):
+        rows = []
+        ids: list[str] = []
+        for pdf in pdf_iter:
+            ids.extend(pdf["id"].tolist())
+        if state.exists:
+            kept = state.get[0]
+            seen_before = True
+        else:
+            kept = min(ids)
+            seen_before = False
+            state.update((kept,))
+        for rid in ids:
+            rows.append((rid, key[0], seen_before or rid != kept, kept))
+        yield pd.DataFrame(
+            rows, columns=["id", "content_hash", "is_dup", "kept_id"])
+
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
 
 
 def streaming_quality_metrics(spark: SparkSession, input_dir: str,

@@ -55,3 +55,40 @@ def test_streaming_windowed_metrics(spark, pages_df, tmp_path):
     # max_event_time − 1 day): the last two day-windows stay open
     assert exp_days - 2 <= len(got) <= exp_days
     assert (got["docs"] > 0).all()
+
+
+def test_streaming_stateful_exact_dedup(spark, tmp_path):
+    """Custom stateful operator: state keyed by content hash survives
+    across micro-batches — a re-crawl N epochs later is still a dup."""
+    import os
+    from standard_data_quality_framework_spark.streaming.quality_stream import (
+        streaming_exact_dedup)
+    inp = str(tmp_path / "sin")
+    os.makedirs(inp)
+    mk = lambda rows: spark.createDataFrame(
+        [(u, "2024-01-0%d 00:00:00" % d, None, t, "en")
+         for u, d, t in rows],
+        "url string, warc_ts string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    # batch 1 file: content X twice (u2, u5), content Y once (u7)
+    mk([("u2", 1, "X"), ("u5", 1, "X"), ("u7", 1, "Y")]) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    # batch 2 file (maxFilesPerTrigger=1 → separate epoch): X again
+    # under a SMALLER id (u1) + fresh content Z
+    mk([("u1", 2, "X"), ("u9", 2, "Z")]) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    dedup = streaming_exact_dedup(spark, inp)
+    q = (dedup.writeStream.outputMode("update").format("memory")
+         .queryName("sdd").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    got = spark.sql("SELECT * FROM sdd").toPandas().set_index("id")
+
+    assert len(got) == 5
+    # first batch that saw X keeps its min id (u2); u5 same-batch dup
+    assert not got.loc["u2", "is_dup"] and got.loc["u2", "kept_id"] == "u2"
+    assert got.loc["u5", "is_dup"] and got.loc["u5", "kept_id"] == "u2"
+    # u1 arrives an epoch LATER: dup even though u1 < u2 — state wins
+    assert got.loc["u1", "is_dup"] and got.loc["u1", "kept_id"] == "u2"
+    assert not got.loc["u7", "is_dup"]
+    assert not got.loc["u9", "is_dup"]
