@@ -1,0 +1,114 @@
+"""Approximate-distinct sketches with EXACT SQL oracles.
+
+hll_distinct — HyperLogLog built from first principles (Flajolet et
+al. 2007, public algorithm) on the cross-engine hash60: at 10^12 docs
+a `count_distinct(url)` shuffles every distinct value; the sketch
+shuffles 2^p ≤ 1024 registers per group and merges associatively.
+
+Determinism design (why this oracle can be EXACT, unlike Spark's
+approx_count_distinct whose HLL++ internals DuckDB can't mirror):
+
+  * register = max over a uniform integer hash — order-independent;
+  * the harmonic-sum denominator Σ 2^(-rho) is computed SCALED BY 2^51
+    so every term 2^(51-rho) is an exact BIGINT and the SUM is an
+    order-independent integer (float summation order would differ
+    between engines);
+  * the final estimate is ONE double expression over those integers,
+    written token-for-token identically in Spark and DuckDB SQL.
+
+Recast of the reference's uniqueness counting
+(/root/reference/src/quality_checks.py:245-275 duplicate-row ratio) at
+cardinalities where exact distinct does not fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+
+_P = 10                      # 2^10 = 1024 registers
+_M = 1 << _P
+_SCALE = float(1 << 51)      # exact in double
+# alpha_m for m = 1024 — same literal arithmetic on both engines
+_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / 1024.0)"
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str],
+                 value_col: str, p: int = _P) -> DataFrame:
+    """(group_cols…, est_distinct) — HLL cardinality estimate per
+    group over ``value_col``, exact-SQL-mirrorable (see module doc).
+
+    Plan shape: one narrow projection (hash/bucket/rho), one partial-
+    aggregating groupBy to the max-register form (≤ m rows per group
+    cross the wire), one tiny final aggregate. Skew-free: bucket ids
+    are uniform by construction.
+    """
+    if p != _P:
+        raise ValueError("p is pinned to 10 so the SQL oracle constants "
+                         "(alpha, scale) stay literal")
+    m = 1 << p
+    # explicit string cast: md5 wants string/binary, and long→string
+    # renders identically in both engines (no scientific notation)
+    h = hash60(F.col(value_col).cast("string"))  # 60-bit uniform
+    bucket = F.pmod(h, F.lit(m))
+    rest = F.shiftright(h, p)               # top 50 bits
+    # rho = leading zeros of the 50-bit remainder + 1 ∈ [1, 51];
+    # bin-length(x) = floor(log2 x)+1 exactly (string length, no
+    # float log) — conv(x,10,2) here, bin(x) in DuckDB
+    rho = (F.when(rest == 0, F.lit(51))
+           .otherwise(F.lit(51) - F.length(F.conv(rest, 10, 2))))
+    regs = (df.select(*group_cols, bucket.alias("_b"), rho.alias("_rho"))
+            .groupBy(*group_cols, "_b")
+            .agg(F.max("_rho").alias("r")))
+    per = (regs.groupBy(*group_cols)
+           .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(51 - r AS INT))")).alias("_s"),
+                F.count("*").alias("_mp")))
+    denom = (F.col("_s")
+             + (F.lit(m) - F.col("_mp")) * F.lit(1 << 51)).cast("double")
+    e_raw = (F.expr(_ALPHA_EXPR) * F.lit(float(m)) * F.lit(float(m))
+             * F.lit(_SCALE) / denom)
+    v = (F.lit(m) - F.col("_mp")).cast("double")  # empty registers
+    est = F.when((e_raw <= 2.5 * m) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+           .otherwise(e_raw)
+    return per.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def hll_distinct_sql(table: str, group_cols: list[str],
+                     value_expr: str) -> str:
+    """DuckDB mirror of hll_distinct (p=10) over ``table``."""
+    g = ", ".join(group_cols)
+    h = hash60_sql(value_expr)
+    return f"""
+WITH hashed AS (
+  SELECT {g}, ({h}) % 1024 AS _b,
+         CASE WHEN ({h}) // 1024 = 0 THEN 51
+              ELSE 51 - length(bin(({h}) // 1024)) END AS _rho
+  FROM {table}
+),
+regs AS (
+  SELECT {g}, _b, max(_rho) AS r FROM hashed GROUP BY {g}, _b
+),
+per AS (
+  SELECT {g},
+         CAST(sum(CAST(1 AS BIGINT) << (51 - r)) AS BIGINT) AS _s,
+         count(*) AS _mp
+  FROM regs GROUP BY {g}
+)
+SELECT {g},
+       round(CASE WHEN ({_ALPHA_EXPR} * 1024.0 * 1024.0
+                        * 2251799813685248.0
+                        / CAST(_s + (1024 - _mp)
+                               * (CAST(1 AS BIGINT) << 51) AS DOUBLE))
+                       <= 2.5 * 1024
+                   AND (1024 - _mp) > 0
+              THEN 1024.0 * ln(1024.0 / CAST(1024 - _mp AS DOUBLE))
+              ELSE {_ALPHA_EXPR} * 1024.0 * 1024.0 * 2251799813685248.0
+                   / CAST(_s + (1024 - _mp)
+                          * (CAST(1 AS BIGINT) << 51) AS DOUBLE)
+              END, 4) AS est_distinct
+FROM per
+"""

@@ -1793,6 +1793,117 @@ def multimodal_frames_q(spark, sf_dir):
             .select("id", "frame_idx", "frame_off", "frame_len"))
 
 
+def _hll_oracle() -> str:
+    from ..operators.sketches import hll_distinct_sql
+    return hll_distinct_sql("events", ["event_type"],
+                            "CAST(user_id AS VARCHAR)")
+
+
+@register("hll_distinct_users", None)  # oracle attached below
+def hll_distinct_users_q(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type — the sketch
+    tier of uniqueness counting (exact count_distinct shuffles every
+    value; this shuffles ≤1024 integer registers per group and merges
+    associatively). The integer-scaled register sum makes the DuckDB
+    oracle EXACT, not approximate-vs-approximate."""
+    from ..operators.sketches import hll_distinct
+    e = _t(spark, sf_dir, "events")
+    return hll_distinct(e, ["event_type"], "user_id")
+
+
+ORACLES["hll_distinct_users"] = _hll_oracle()
+
+
+@register("price_quantiles_by_flag", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+FROM lineitem GROUP BY l_returnflag
+""")
+def price_quantiles_q(spark, sf_dir):
+    """EXACT quantiles per group (A19 summary-stats tier): Spark
+    percentile() and DuckDB quantile_cont share the linear-
+    interpolation definition, so values match bit-for-bit on the same
+    doubles. The 100-TB variant swaps in approx_percentile with a
+    documented error bound; the exact form is the oracle tier."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
+    return li.groupBy("l_returnflag").agg(*[
+        F.round(F.percentile("l_extendedprice", F.lit(q)), 2).alias(a)
+        for q, a in qs])
+
+
+@register("q10_returned_revenue", f"""
+SELECT c.c_custkey, c.c_name,
+       round({_sum_cents_sql('l.l_extendedprice * (1 - l.l_discount)')}
+             / 100.0, 2) AS revenue,
+       round(any_value(c.c_acctbal), 2) AS acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q10(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue —
+    fact-side filter pushed to the scan, dimension broadcast, single
+    agg on the uniform customer key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy("c_custkey", "c_name")
+           .agg(F.round(_sum_cents(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))) / 100.0, 2)
+                .alias("revenue"),
+                F.round(F.any_value("c_acctbal"), 2).alias("acctbal")))
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@register("q18_large_volume_orders", """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS totalprice,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d'), round(o.o_totalprice, 2)
+ORDER BY totalprice DESC, o.o_orderkey
+LIMIT 20
+""")
+def q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — a HAVING-filtered
+    self-aggregation semi-joined back to the fact (two passes over
+    lineitem, both uniform-key; the `big` set is tiny → broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_q"))
+           .filter(F.col("_q") > 150).select("l_orderkey"))
+    out = (li.join(F.broadcast(big), "l_orderkey")
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("totalprice"))
+           .agg(F.sum(F.round(F.col("l_quantity")).cast("long"))
+                .alias("qty")))
+    return out.orderBy(F.desc("totalprice"), F.asc("o_orderkey")).limit(20)
+
+
 @register("crawl_diff_documents", """
 WITH prev AS (
   SELECT doc_id AS key, md5(text) AS prev_hash
