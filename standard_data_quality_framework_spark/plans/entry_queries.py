@@ -1904,6 +1904,37 @@ def q18(spark, sf_dir):
     return out.orderBy(F.desc("totalprice"), F.asc("o_orderkey")).limit(20)
 
 
+@register("asof_last_purchase_value", """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       round(p.value, 6) AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def asof_q(spark, sf_dir):
+    """As-of join: each click gains the user's latest purchase value
+    at or before the click. Spark side is the union + last-ignorenulls
+    window (ONE uniform-key shuffle — operators/asof.py); the oracle
+    is DuckDB's native ASOF LEFT JOIN. Right side pre-aggregated to
+    unique (user, ts) so both engines are deterministic."""
+    from ..operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    j = asof_join(clicks, purch, "user_id", "ts", ["value"])
+    return j.select("event_id", "user_id",
+                    F.round("value", 6).alias("last_purchase_value"))
+
+
 @register("crawl_diff_documents", """
 WITH prev AS (
   SELECT doc_id AS key, md5(text) AS prev_hash

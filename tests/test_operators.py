@@ -468,3 +468,25 @@ def test_scd2_history_revert_opens_new_version(spark):
         .set_index("key")["status"]
     assert d[1] == "unchanged" and d[2] == "changed"
     assert d[3] == "removed" and d[4] == "added"
+
+
+def test_asof_join_hand(spark):
+    from standard_data_quality_framework_spark.operators.asof import (
+        asof_join)
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d")],
+        "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (2, 99, 300.0)],
+        "k long, ts long, v double")
+    out = asof_join(left, right, "k", "ts", ["v"]).toPandas() \
+        .set_index("tag")
+    assert out.loc["a", "v"] == 100.0   # inclusive tie at ts=10
+    assert out.loc["b", "v"] == 200.0   # latest <= 20 is 18
+    assert pd.isna(out.loc["c", "v"])   # nothing at or before 5
+    assert pd.isna(out.loc["d", "v"])   # right ts 99 > 15
+    # tolerance: match older than 5 units becomes null
+    tol = asof_join(left, right, "k", "ts", ["v"], tolerance=1) \
+        .toPandas().set_index("tag")
+    assert tol.loc["a", "v"] == 100.0   # ts delta 0 <= 1
+    assert pd.isna(tol.loc["b", "v"])   # delta 2 > 1
