@@ -45,6 +45,10 @@ FORBID = [
     # winnowing is fully row-local (shifted-slice sliding min): the r2
     # per-char posexplode+window shape shuffled ~n_chars rows per doc
     ("winnowing_fingerprints_documents", ["Exchange"]),
+    # bucketized range join must plan as a hash equi-join, never the
+    # nested-loop the naive inequality join would get
+    ("range_join_event_bands", ["BroadcastNestedLoopJoin",
+                                "CartesianProduct"]),
 ]
 
 

@@ -20,6 +20,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def point_in_range_join(points: DataFrame, ranges: DataFrame,
+                        key_col: str, pt_col: str, start_col: str,
+                        end_col: str, bucket_width: float) -> DataFrame:
+    """Inclusive point-in-interval join (same key): every point row ×
+    every range row with start ≤ pt ≤ end.
+
+    The naive formulation is an inequality join — Spark plans it as a
+    BroadcastNestedLoopJoin/CartesianProduct, which is O(|P|·|R|) and
+    forbidden at scale. This is the classic BUCKETIZED range join:
+    each range explodes into its covered coarse buckets
+    (⌈span/width⌉+1 rows), each point maps to exactly one bucket, and
+    the join becomes a plain hash equi-join on (key, bucket) followed
+    by the exact between-filter. A point's bucket is covered at most
+    once per range, so no post-join dedup is needed. Pick
+    bucket_width ≈ the typical range span: candidate blow-up is then
+    ~2× rows, never quadratic.
+    """
+    w = float(bucket_width)
+    p = points.withColumn("_bkt",
+                          F.floor(F.col(pt_col) / F.lit(w)).cast("long"))
+    r = ranges.withColumn(
+        "_bkt",
+        F.explode(F.sequence(
+            F.floor(F.col(start_col) / F.lit(w)).cast("long"),
+            F.floor(F.col(end_col) / F.lit(w)).cast("long"))))
+    joined = p.join(r, [key_col, "_bkt"])
+    return (joined
+            .filter((F.col(pt_col) >= F.col(start_col))
+                    & (F.col(pt_col) <= F.col(end_col)))
+            .drop("_bkt"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, key_col: str,
               ts_col: str, value_cols: list[str],
               tolerance: float | None = None) -> DataFrame:

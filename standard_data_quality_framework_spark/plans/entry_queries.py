@@ -1935,6 +1935,43 @@ def asof_q(spark, sf_dir):
                     F.round("value", 6).alias("last_purchase_value"))
 
 
+@register("range_join_event_bands", """
+WITH bands AS (
+  SELECT r AS band_id, CAST(r % 4 AS BIGINT) AS k,
+         r * 50.0 AS lo, r * 50.0 + 120.0 AS hi
+  FROM UNNEST(generate_series(0, 39)) AS u(r)
+),
+pts AS (
+  SELECT event_id, CAST(event_id % 4 AS BIGINT) AS k,
+         round(value, 6) AS v
+  FROM events
+)
+SELECT p.event_id, b.band_id, p.v,
+       round(b.lo, 2) AS lo, round(b.hi, 2) AS hi
+FROM pts p JOIN bands b ON p.k = b.k AND p.v >= b.lo AND p.v <= b.hi
+""")
+def range_join_q(spark, sf_dir):
+    """Bucketized point-in-interval join (plan-asserted no cartesian):
+    event values against 40 overlapping per-key value bands. The
+    oracle is the plain inequality join; the Spark plan is the
+    (key, bucket) hash equi-join + exact filter."""
+    from ..operators.asof import point_in_range_join
+    e = _t(spark, sf_dir, "events")
+    pts = e.select("event_id",
+                   (F.col("event_id") % 4).cast("long").alias("k"),
+                   F.round("value", 6).alias("v"))
+    bands = (spark.range(0, 40).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") % 4).cast("long").alias("k"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 120.0).alias("hi")))
+    j = point_in_range_join(pts, bands, "k", "v", "lo", "hi",
+                            bucket_width=50.0)
+    return j.select("event_id", "band_id", "v",
+                    F.round("lo", 2).alias("lo"),
+                    F.round("hi", 2).alias("hi"))
+
+
 @register("crawl_diff_documents", """
 WITH prev AS (
   SELECT doc_id AS key, md5(text) AS prev_hash

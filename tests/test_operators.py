@@ -490,3 +490,41 @@ def test_asof_join_hand(spark):
         .toPandas().set_index("tag")
     assert tol.loc["a", "v"] == 100.0   # ts delta 0 <= 1
     assert pd.isna(tol.loc["b", "v"])   # delta 2 > 1
+
+
+def test_point_in_range_join_no_cartesian(spark):
+    import io
+    from contextlib import redirect_stdout
+    from standard_data_quality_framework_spark.operators.asof import (
+        point_in_range_join)
+    pts = spark.createDataFrame(
+        [(1, 0.0), (1, 75.0), (1, 120.0), (2, 75.0)], "k long, v double")
+    rng = spark.createDataFrame(
+        [(10, 1, 50.0, 130.0), (11, 1, 100.0, 199.0), (12, 2, 0.0, 10.0)],
+        "rid long, k long, lo double, hi double")
+    out = point_in_range_join(pts, rng, "k", "v", "lo", "hi", 50.0)
+    got = sorted((r.v, r.rid) for r in out.collect())
+    # 75→band10; 120→bands 10 and 11; 0.0 and (2,75) match nothing
+    assert got == [(75.0, 10), (120.0, 10), (120.0, 11)]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_distinct_accuracy(spark):
+    from standard_data_quality_framework_spark.operators.sketches import (
+        hll_distinct)
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 5000).alias("v"))  # 5000/1667/1666 distinct per g
+    est = hll_distinct(df, ["g"], "v").toPandas().set_index("g")
+    exact = df.groupBy("g").agg(
+        F.count_distinct("v").alias("n")).toPandas().set_index("g")
+    for g in (0, 1, 2):
+        rel = abs(est.loc[g, "est_distinct"] - exact.loc[g, "n"]) \
+            / exact.loc[g, "n"]
+        assert rel < 0.08, (g, rel)  # 1024 registers → ~3.2% typical
