@@ -77,6 +77,30 @@ def hll_distinct(df: DataFrame, group_cols: list[str],
     return per.select(*group_cols, F.round(est, 4).alias("est_distinct"))
 
 
+def bottomk_sketch(df: DataFrame, group_cols: list[str],
+                   value_col: str, k: int = 32) -> DataFrame:
+    """(group…, value, hrank) — the k distinct values with the SMALLEST
+    hash60 per group: a KMV (k-minimum-values) sketch.
+
+    Deterministic and mergeable: the bottom-k of a union is the
+    bottom-k of the concatenated bottom-ks, so partial sketches
+    combine associatively across partitions/days — the property that
+    makes it a sketch rather than a sample. Doubles as (a) a stable
+    per-group sample for eyeballing and (b) a distinct-count
+    estimator ((k−1)/max_kth_normalized — HLL above is the better
+    counter; KMV keeps the sample itself). One uniform-key shuffle.
+    """
+    h = hash60(F.col(value_col).cast("string"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.col("_h").asc(), F.col(value_col).asc()))
+    return (df.select(*group_cols, F.col(value_col), h.alias("_h"))
+            .dropDuplicates([*group_cols, value_col])
+            .withColumn("hrank", F.row_number().over(w))
+            .filter(F.col("hrank") <= k)
+            .drop("_h"))
+
+
 def hll_distinct_sql(table: str, group_cols: list[str],
                      value_expr: str) -> str:
     """DuckDB mirror of hll_distinct (p=10) over ``table``."""

@@ -1944,6 +1944,32 @@ def asof_q(spark, sf_dir):
                     .alias("last_purchase_value"))
 
 
+@register("bottomk_users_per_type", f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+h AS (
+  SELECT event_type, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {hash60_sql('CAST(user_id AS VARCHAR)')}, user_id
+         ) AS hrank
+  FROM d
+)
+SELECT event_type, user_id, CAST(hrank AS INT) AS hrank
+FROM h WHERE hrank <= 8
+""")
+def bottomk_q(spark, sf_dir):
+    """KMV bottom-k sketch: the 8 distinct users with the smallest
+    hash per event type — a deterministic, MERGEABLE per-group sample
+    (bottom-k of a union = bottom-k of concatenated bottom-ks), the
+    sketch companion to hll_distinct_users."""
+    from ..operators.sketches import bottomk_sketch
+    e = _t(spark, sf_dir, "events")
+    return bottomk_sketch(e, ["event_type"], "user_id", k=8) \
+        .select("event_type", "user_id", "hrank")
+
+
 @register("range_join_event_bands", """
 WITH bands AS (
   SELECT r AS band_id, CAST(r % 4 AS BIGINT) AS k,
