@@ -46,6 +46,13 @@ BENCH_QUERIES = [
     "winnowing_fingerprints_documents",
     "crawl_diff_documents",
     "scd2_history_documents",
+    "q10_returned_revenue",
+    "q18_large_volume_orders",
+    "hll_distinct_users",
+    "bottomk_users_per_type",
+    "asof_last_purchase_value",
+    "range_join_event_bands",
+    "price_quantiles_by_flag",
     "token_stats_documents",
     "quality_scores_documents",
     "metrics_details_documents",

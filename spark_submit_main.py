@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="cross-day near-dup clustering over the "
                         "warehouse's pages_filtered → dup_clusters")
     p.add_argument("--dedup-threshold", type=float, default=0.85)
+    p.add_argument("--full-dedup", action="store_true",
+                   help="force a from-scratch global dedup instead of "
+                        "the incremental delta vs prior canonicals")
+    p.add_argument("--max-bucket-size", type=int, default=500,
+                   help="LSH hot-bucket candidate cap (identical docs "
+                        "still cluster via exact-hash star edges)")
     args = p.parse_args(argv)
 
     from standard_data_quality_framework_spark.session import get_spark
@@ -56,7 +62,9 @@ def main(argv: list[str] | None = None) -> int:
             run_global_dedup)
         summary = run_global_dedup(spark, args.warehouse,
                                    run_id=args.run_id,
-                                   threshold=args.dedup_threshold)
+                                   threshold=args.dedup_threshold,
+                                   max_bucket_size=args.max_bucket_size,
+                                   incremental=not args.full_dedup)
         print(json.dumps(summary))
         return 0
 
