@@ -1,0 +1,53 @@
+"""Degenerate-input probes: the pipeline must survive empty frames,
+all-null rows, and garbage binary html without crashing or emitting
+malformed rows (a 10^12-doc crawl contains every pathology)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from standard_data_quality_framework_spark.pipeline import run_quality_filter
+
+_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def test_pipeline_empty_frame(spark):
+    empty = spark.createDataFrame([], _SCHEMA)
+    out = run_quality_filter(spark, empty)
+    assert out.verdicts.count() == 0
+    assert out.kept.count() == 0
+    # schema stays fully formed for downstream sinks
+    for c in ("url", "keep", "drop_reasons", "scrubbed_text",
+              "scrub_edits", "warc_date"):
+        assert c in out.verdicts.columns
+
+
+def test_pipeline_null_and_garbage_rows(spark):
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u_nulls", ts, None, None, None),          # everything null
+        ("u_emptytext", ts, None, "", "en"),        # empty text
+        ("u_garbage", ts, b"\xff\xfe\x00\x9c\x01" * 40, None, "en"),
+        ("u_ok", ts, None,
+         "the quick brown fox jumps over the lazy dog and keeps "
+         "going with many more plain words in a long sentence", "en"),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = run_quality_filter(spark, df).verdicts.toPandas() \
+        .set_index("url")
+    assert len(out) == 4
+    # null/empty/garbage rows are DROPPED with reasons, never crash
+    assert not out.loc["u_nulls", "keep"]
+    assert "empty_text" in out.loc["u_nulls", "drop_reasons"]
+    assert not out.loc["u_emptytext", "keep"]
+    assert len(out.loc["u_garbage", "drop_reasons"]) > 0
+    # scrubbed_text is always a string, even for degenerate rows
+    assert (out["scrubbed_text"].map(lambda s: isinstance(s, str))).all()
