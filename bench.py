@@ -136,7 +136,7 @@ def main() -> None:
         all_samples[name] = runs
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "bench_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -146,9 +146,17 @@ def main() -> None:
         "pages_rows": n_pages,
         "docs_per_sec_pipeline": round(docs_per_sec, 1),
         "protocol": f"median of {samples} after {warmup} warm-up",
-        "samples": all_samples,
-    }))
+    }
+    # raw per-run samples go to a sidecar file, NOT stdout: the driver
+    # keeps only the tail of stdout, so the final line must stay small
+    # enough to survive intact (judge r3 task #7)
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_samples.json")
+    with open(sidecar, "w") as f:
+        json.dump({**result, "samples": all_samples}, f, indent=1)
     spark.stop()
+    # compact medians JSON as the very LAST stdout line
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

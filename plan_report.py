@@ -110,13 +110,17 @@ def main() -> None:
     # join with reachable thresholds and capture the FINAL adaptive
     # plan (the runtime half of the skew story; compile-time half is
     # salted_domain_counts). Mirrors tests/test_skew_aqe.py.
-    for k, v in {
+    _skew_confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
             "256KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
-    }.items():
+    }
+    # save current values so EVERY mutated conf is restored after this
+    # section (mirrors the skew_conf fixture in tests/test_skew_aqe.py)
+    _saved_confs = {k: spark.conf.get(k, None) for k in _skew_confs}
+    for k, v in _skew_confs.items():
         spark.conf.set(k, v)
     from pyspark.sql import functions as F
     big = spark.range(60_000).select(
@@ -144,7 +148,11 @@ def main() -> None:
                    "skew=true" in skew_plan))
     sections.append(("aqe_skew_domain_join (final adaptive plan, "
                      "executed)", skew_plan))
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    for k, old in _saved_confs.items():
+        if old is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, old)
 
     with open("PLANS.md", "w") as f:
         f.write("# Physical-plan audit\n\n")

@@ -136,3 +136,39 @@ SELECT {g},
               END, 4) AS est_distinct
 FROM per
 """
+
+
+def grouped_quantiles(df: DataFrame, group_cols: list[str],
+                      value_col: str, qs: list[tuple[float, str]],
+                      approx: bool = True,
+                      accuracy: int = 10_000) -> DataFrame:
+    """(group_cols…, <alias per quantile>) — grouped quantiles with a
+    memory-bounded default.
+
+    approx=True (the 100-TB tier) uses ``approx_percentile`` — Spark's
+    QuantileSummaries (Greenwald–Khanna variant): per-group state is
+    O(accuracy · log n) summary tuples instead of EVERY value, and the
+    returned value's RANK error is ≤ n/accuracy (documented Spark
+    contract). At accuracy=10⁴ over a 10⁹-row group that is a rank
+    window of 10⁵ around the true quantile — for smooth value
+    distributions a tiny relative value error (bounded empirically by
+    tests/test_quality_extras.py::test_grouped_quantiles_approx_relerr).
+
+    approx=False computes exact ``percentile`` — bit-reproducible vs
+    DuckDB on integer inputs at dyadic q (the oracle tier:
+    plans/entry_queries.py price_quantiles_by_flag), but it buffers
+    every group value in one aggregation buffer; with billions of rows
+    per group that is an executor OOM, so exact is gated to test scale.
+
+    Recast of /root/reference/src/quality_checks.py summary statistics
+    (describe()-style percentiles) for groups that do not fit memory.
+    """
+    agg = []
+    for q, alias in qs:
+        if approx:
+            agg.append(F.approx_percentile(
+                F.col(value_col), F.lit(q), F.lit(accuracy)).alias(alias))
+        else:
+            agg.append(F.percentile(
+                F.col(value_col), F.lit(q)).alias(alias))
+    return df.groupBy(*group_cols).agg(*agg)

@@ -25,10 +25,12 @@ def crawl_diff(prev: DataFrame, curr: DataFrame, key_col: str,
     """(key, status, prev_hash, curr_hash) — full-outer content diff
     of two snapshots: status ∈ added | removed | changed | unchanged
     by md5 content hash. One hash join on the uniform key."""
-    a = prev.select(F.col(key_col).alias("key"),
-                    F.md5(F.col(content_col)).alias("prev_hash"))
-    b = curr.select(F.col(key_col).alias("key"),
-                    F.md5(F.col(content_col)).alias("curr_hash"))
+    # md5(NULL) is NULL, which would misread a present-but-null row as
+    # side-missing ("added"/"removed"); hash the empty string instead
+    # (same null-safe pattern as streaming_exact_dedup).
+    nz = F.md5(F.coalesce(F.col(content_col), F.lit("")))
+    a = prev.select(F.col(key_col).alias("key"), nz.alias("prev_hash"))
+    b = curr.select(F.col(key_col).alias("key"), nz.alias("curr_hash"))
     status = (F.when(F.col("prev_hash").isNull(), "added")
               .when(F.col("curr_hash").isNull(), "removed")
               .when(F.col("prev_hash") == F.col("curr_hash"), "unchanged")
@@ -51,7 +53,10 @@ def scd2_history(snapshots: DataFrame, key_col: str, ts_col: str,
     history, not distinct-value dedup."""
     d = snapshots.select(F.col(key_col).alias("key"),
                          F.col(ts_col).alias("ts"),
-                         F.md5(F.col(content_col)).alias("content_hash"))
+                         # null-safe: md5(NULL) would make `_prev !=
+                         # content_hash` NULL and break version numbering
+                         F.md5(F.coalesce(F.col(content_col), F.lit("")))
+                         .alias("content_hash"))
     w = Window.partitionBy("key").orderBy("ts")
     d = (d.withColumn("_prev", F.lag("content_hash").over(w))
          .withColumn("_chg",

@@ -1824,21 +1824,30 @@ SELECT l_returnflag,
                            0.75) / 100.0, 2) AS p75
 FROM lineitem GROUP BY l_returnflag
 """)
-def price_quantiles_q(spark, sf_dir):
-    """EXACT quartiles per group (A19 summary-stats tier), computed
-    over INTEGER CENTS at dyadic quantiles: with integer inputs and
-    q ∈ {.25,.5,.75} the interpolation a+(b−a)·f and a(1−f)+b·f are
-    BOTH exact in double, so Spark percentile() and DuckDB
-    quantile_cont agree bit-for-bit — a float-price p95 flipped a
-    round(…,2) boundary by one ulp because the engines arrange the
-    interpolation differently. The 100-TB variant swaps in
-    approx_percentile with a documented error bound."""
+def price_quantiles_q(spark, sf_dir, approx: bool = False,
+                      accuracy: int = 10_000):
+    """Quartiles per group (A19 summary-stats tier) over INTEGER
+    CENTS. Oracle tier (approx=False, this registration): with
+    integer inputs and dyadic q ∈ {.25,.5,.75} the interpolation
+    a+(b−a)·f and a(1−f)+b·f are BOTH exact in double, so Spark
+    percentile() and DuckDB quantile_cont agree bit-for-bit — a
+    float-price p95 flipped a round(…,2) boundary by one ulp because
+    the engines arrange the interpolation differently. BUT exact
+    percentile buffers every group value in one aggregation buffer —
+    an OOM at 100 TB — so the scale tier (approx=True) swaps in
+    operators.sketches.grouped_quantiles / approx_percentile:
+    O(accuracy·log n) memory, rank error ≤ n/accuracy, rel-err
+    bounded by tests/test_quality_extras.py."""
+    from ..operators.sketches import grouped_quantiles
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     qs = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]
-    return li.groupBy("l_returnflag").agg(*[
-        F.round(F.percentile(cents, F.lit(q)) / 100.0, 2).alias(a)
-        for q, a in qs])
+    raw = grouped_quantiles(li.select("l_returnflag",
+                                      cents.alias("_cents")),
+                            ["l_returnflag"], "_cents", qs,
+                            approx=approx, accuracy=accuracy)
+    return raw.select("l_returnflag", *[
+        F.round(F.col(a) / 100.0, 2).alias(a) for _, a in qs])
 
 
 @register("q10_returned_revenue", f"""
@@ -2009,12 +2018,13 @@ def range_join_q(spark, sf_dir):
 
 @register("crawl_diff_documents", """
 WITH prev AS (
-  SELECT doc_id AS key, md5(text) AS prev_hash
+  SELECT doc_id AS key, md5(coalesce(text, '')) AS prev_hash
   FROM documents WHERE doc_id % 7 <> 0
 ),
 curr AS (
   SELECT doc_id AS key,
-         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+         md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                           ELSE text END, ''))
          AS curr_hash
   FROM documents WHERE doc_id % 11 <> 3
 )
@@ -2064,8 +2074,9 @@ _SCD2_SNAPS_SQL = """
 @register("scd2_history_documents", f"""
 WITH snaps AS ({_SCD2_SNAPS_SQL}),
 d AS (
-  SELECT key, ts, md5(content) AS content_hash,
-         lag(md5(content)) OVER (PARTITION BY key ORDER BY ts) AS pv
+  SELECT key, ts, md5(coalesce(content, '')) AS content_hash,
+         lag(md5(coalesce(content, '')))
+         OVER (PARTITION BY key ORDER BY ts) AS pv
   FROM snaps
 ),
 f AS (

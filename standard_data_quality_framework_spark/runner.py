@@ -161,10 +161,12 @@ def _labels_for(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
                 .unionByName(edges.select(F.col("id_b").alias("id")))
                 .distinct())
     labels = connected_components(incident, edges)
-    out = (all_ids.join(labels, "id", "left")
-           .select("id", F.coalesce("label", "id").alias("label")))
-    labels.unpersist()  # release the CC result's checkpoint blocks
-    return out
+    # NOTE: labels is localCheckpoint'ed (RDD-level persistence);
+    # Dataset.unpersist would be a no-op. The checkpoint blocks are
+    # reclaimed by the ContextCleaner once the frame is unreferenced
+    # after the dup_clusters write.
+    return (all_ids.join(labels, "id", "left")
+            .select("id", F.coalesce("label", "id").alias("label")))
 
 
 def run_global_dedup(spark: SparkSession, warehouse: str,
@@ -172,7 +174,9 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
                      num_hashes: int = 16, bands: int = 4,
                      threshold: float = 0.85,
                      max_bucket_size: int | None = 500,
-                     incremental: bool = True) -> dict:
+                     incremental: bool = True,
+                     delta_member_sample: int = 0,
+                     full_rebuild_every: int | None = None) -> dict:
     """Cross-day near-duplicate clustering over the whole
     ``pages_filtered`` warehouse table → ``dup_clusters``.
 
@@ -193,12 +197,21 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
     the new edges are merged with the prior clusters' star edges
     (member → canonical) before a CC pass over the affected subgraph.
     Per ingested day that is O(new ∪ canonicals) LSH work instead of
-    O(all history). Approximation vs a from-scratch run: two PRIOR
-    clusters merge only if a new doc (or their canonicals) links them
-    — prior non-canonical members are not re-paired. For near-clique
-    LSH clusters (threshold ≥ 0.85) the canonical is an ε-cover of
-    its cluster, so the labels coincide; the equivalence is asserted
-    by the two-phase warehouse test (tests/test_runner_metrics.py).
+    O(all history). This is an APPROXIMATION of a from-scratch run
+    (reported as mode='delta-approx'): a new doc within threshold of
+    a prior NON-canonical member but not of that cluster's canonical
+    is missed, and two prior clusters merge only if a new doc (or
+    their canonicals) links them — near-dup similarity is not
+    transitive, so labels CAN diverge from a full rebuild. For
+    near-clique LSH clusters (threshold ≥ 0.85) the canonical is
+    usually an ε-cover of its cluster and the labels coincide (the
+    warehouse tests exercise that benign case), but it is a
+    heuristic, not a guarantee. Two knobs bound the drift:
+    ``delta_member_sample=k`` also pairs new docs against up to k
+    deterministically-sampled non-canonical members per prior
+    cluster; ``full_rebuild_every=m`` forces a full rebuild after m
+    consecutive delta ingests (chain depth is tracked in the tiny
+    ``dedup_state`` table).
 
     Resume contract: the unit of work is the SNAPSHOT — the sorted set
     of warc_dates present in pages_filtered, fingerprinted into
@@ -241,9 +254,15 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
     all_ids = docs.select("id").distinct()
 
     # delta eligibility: dup_clusters holds a committed strict-subset
-    # snapshot of the current day set
+    # snapshot of the current day set, and the delta chain is shorter
+    # than full_rebuild_every (drift bound)
     mode = "full"
     prior = None
+    prior_depth = 0
+    if catalog.exists("dedup_state"):
+        st = catalog.read("dedup_state").first()
+        if st is not None:
+            prior_depth = int(st.chain_depth)
     if incremental and catalog.exists("dup_clusters"):
         prior = catalog.read("dup_clusters")
         prior_days = sorted(str(r[0]) for r in
@@ -251,18 +270,35 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
         prior_snap = hashlib.md5(
             ",".join(prior_days).encode()).hexdigest()[:16]
         if (prior_days and set(prior_days) < set(days)
-                and _lineage_done(prior_snap)):
+                and _lineage_done(prior_snap)
+                and (full_rebuild_every is None
+                     or prior_depth + 1 < full_rebuild_every)):
             mode = "delta"
             new_days = sorted(set(days) - set(prior_days))
 
     if mode == "delta":
         canon_ids = (prior.filter(F.col("is_canonical"))
                      .select(F.col("url").alias("id")).distinct())
+        pair_ids = canon_ids
+        if delta_member_sample > 0:
+            # bounded sample of NON-canonical members per prior cluster
+            # (deterministic: best k by url hash) — narrows the
+            # "similar to a member but not the canonical" miss window
+            # at O(k · clusters) extra LSH work
+            from pyspark.sql import Window
+            wm = (Window.partitionBy("cluster_id")
+                  .orderBy(F.xxhash64("url"), "url"))
+            member_ids = (prior.filter(~F.col("is_canonical"))
+                          .select("url", "cluster_id").distinct()
+                          .withColumn("_rk", F.row_number().over(wm))
+                          .filter(F.col("_rk") <= delta_member_sample)
+                          .select(F.col("url").alias("id")))
+            pair_ids = canon_ids.unionByName(member_ids).distinct()
         pool = (docs.filter(F.col("warc_date").cast("string")
                             .isin(new_days))
                 .select("id", "text")
                 .unionByName(docs.select("id", "text")
-                             .join(canon_ids, "id", "left_semi"))
+                             .join(pair_ids, "id", "left_semi"))
                 .dropDuplicates(["id", "text"]))
         lsh_docs = pool.count()
         new_edges = _neardup_edges(pool, n, num_hashes, bands,
@@ -308,7 +344,16 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
         "status string, rows_in long, rows_out long") \
         .withColumn("finished_ts", F.current_timestamp())
     catalog.append(lin, "lineage")
+    # delta-chain depth marker for full_rebuild_every (one tiny row)
+    depth = 0 if mode == "full" else prior_depth + 1
+    spark.createDataFrame(
+        [(snap, mode, depth, run_id)],
+        "snapshot string, mode string, chain_depth int, run_id string") \
+        .write.mode("overwrite").parquet(catalog.path("dedup_state"))
     return {"run_id": run_id, "snapshot": snap, "resumed": False,
-            "mode": mode, "lsh_docs": lsh_docs,
+            # 'delta-approx', not 'delta': labels can diverge from a
+            # from-scratch rebuild (see docstring)
+            "mode": "delta-approx" if mode == "delta" else mode,
+            "delta_depth": depth, "lsh_docs": lsh_docs,
             "rows": n_rows, "clusters": n_clusters,
             "dup_rows": n_rows - out.filter("is_canonical").count()}
