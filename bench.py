@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "quality_scores_documents",
     "metrics_details_documents",
     "pipeline_verdict_documents",
+    "series_fingerprint_native_users",
+    "quality_stratified_sample_documents",
+    "template_clusters_documents",
 ]
 
 

@@ -33,6 +33,20 @@ AUDIT = [
     ("ann_ivf_probed", ["BroadcastHashJoin"]),
     ("q9_product_profit", ["BroadcastHashJoin"]),
     ("q7_volume_shipping", ["BroadcastHashJoin"]),
+    # round-3 operators (judge r3 task #6): partial-aggregation shape
+    # for the sketches (map-side combine before the one exchange),
+    # window shape for SCD2, as-of
+    ("hll_distinct_users",
+     [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    ("bottomk_users_per_type",
+     [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate|"
+      r"Window(.|\n)*Exchange"]),
+    ("scd2_history_documents", ["Window"]),
+    ("asof_last_purchase_value", ["Window"]),
+    # round-4 operators: the native series fingerprint partial-aggs
+    # (ObjectHashAggregate) around one exchange
+    ("series_fingerprint_native_users",
+     [r"ObjectHashAggregate(.|\n)*Exchange(.|\n)*ObjectHashAggregate"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the
@@ -49,6 +63,25 @@ FORBID = [
     # nested-loop the naive inequality join would get
     ("range_join_event_bands", ["BroadcastNestedLoopJoin",
                                 "CartesianProduct"]),
+    # as-of join is union + last-ignorenulls window — the whole point
+    # is avoiding the range self-join shapes
+    ("asof_last_purchase_value", ["BroadcastNestedLoopJoin",
+                                  "CartesianProduct", "SortMergeJoin"]),
+    # template clustering pairs come from the fp equi-join
+    ("template_clusters_documents", ["BroadcastNestedLoopJoin",
+                                     "CartesianProduct"]),
+]
+
+# exact-count plan checks: (query, pattern, expected occurrences)
+COUNTED = [
+    # as-of: the operator itself contributes exactly ONE shuffle (the
+    # union-window exchange); the second Exchange in this entry query
+    # is the right side's own groupBy(user_id, ts) dedup prep (partial
+    # agg → exchange → final), not the join. Any count above 2 would
+    # mean the union sides started shuffling separately.
+    ("asof_last_purchase_value", r"\(\d+\) Exchange", 2),
+    # stratified sampling is a narrow projection + filter — NO shuffle
+    ("quality_stratified_sample_documents", r"\(\d+\) Exchange", 0),
 ]
 
 
@@ -88,6 +121,16 @@ def main() -> None:
         for w in banned:
             ok = not re.search(w, plan)
             checks.append((name, f"NO {w}", ok))
+
+    for name, pat, want in COUNTED:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        n = len(re.findall(pat, plan))
+        checks.append((name, f"count({pat}) = {n} (want {want})",
+                       n == want))
 
     # full pipeline plan
     p = os.path.join(tempfile.mkdtemp(), "pages.parquet")
@@ -153,6 +196,20 @@ def main() -> None:
             spark.conf.unset(k)
         else:
             spark.conf.set(k, old)
+
+    sections.append((
+        "asof skew strategy (note)",
+        "asof_join shuffles ONCE on the join key; a Zipf key therefore\n"
+        "serializes into one window partition, and AQE skew-splitting\n"
+        "cannot apply (it splits joins, not windows — a split would\n"
+        "break the running last-ignorenulls). The skew-safe variant is\n"
+        "operators/asof.py::asof_join_sliced: a segmented prefix scan\n"
+        "partitioned on (key, floor(ts/slice_width)) with a per-(key,\n"
+        "slice) summary frame carrying state across slices — partition\n"
+        "size is bounded by rows-per-key-per-slice (a knob), not by the\n"
+        "hottest key. Equality with asof_join on a 95%-hot-key input is\n"
+        "pinned by tests/test_skew_aqe.py::"
+        "test_asof_sliced_equals_plain_on_zipf_key.\n"))
 
     with open("PLANS.md", "w") as f:
         f.write("# Physical-plan audit\n\n")

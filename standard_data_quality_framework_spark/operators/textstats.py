@@ -37,9 +37,12 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, len_score, punct_ratio, stop_frac, quality) — composite
-    heuristic quality score in [0,1] (C4-ish)."""
+def quality_scores(df: DataFrame, id_col: str, text_col: str,
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *keep_cols, len_score, punct_ratio, stop_frac, quality) —
+    composite heuristic quality score in [0,1] (C4-ish). ``keep_cols``
+    ride along in the same projection so downstream consumers (e.g.
+    quality_stratified_sample) never need a join back to the source."""
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(
@@ -62,6 +65,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 5, F.lit(1.0))))
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
         F.round(len_score, 6).alias("len_score"),
         F.round(punct, 6).alias("punct_ratio"),
         F.round(stop_frac, 6).alias("stop_frac"),
