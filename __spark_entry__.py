@@ -53,7 +53,9 @@ _WINDOW_TAIL = [
     "identical_columns_documents", "identical_columns_positional",
     "expected_columns_documents", "semi_join_coverage_customers",
     "salted_source_counts", "piecewise_hib_rating_by_source",
-    "qualitative_combined_rating",
+    "qualitative_combined_rating", "token_stats_documents",
+    "langid_heuristic_documents", "doc_fingerprint_documents",
+    "fullouter_pairing_events",
 ]
 
 

@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "series_fingerprint_native_users",
     "quality_stratified_sample_documents",
     "template_clusters_documents",
+    "domain_quota_sample_documents",
+    "q6_forecast_revenue",
+    "q8_market_share",
 ]
 
 

@@ -16,7 +16,7 @@ classes down to balance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
@@ -127,3 +127,38 @@ def quality_stratified_sample(df: DataFrame, id_col: str,
             .withColumn("keep_rate", rate_expr)
             .filter(b < F.round(F.col("keep_rate") * _BUCKETS)
                     .cast("long")))
+
+
+def domain_quota_sample(df: DataFrame, domain_col: str, id_col: str,
+                        quota: int, oversample: float = 2.0,
+                        salt: str = "quota") -> DataFrame:
+    """Keep at most ``quota`` rows per domain, deterministically — the
+    standard anti-domination step for Common-Crawl-style corpora
+    (one mega-site must not swamp the training mix).
+
+    Selection = the quota smallest salted-hash buckets per domain, so
+    membership is a pure function of (salt, id) given the domain's
+    size — reproducible, engine-checkable, and stable under
+    partitioning. Skew shape: the naive per-domain row_number window
+    sorts EVERY row of the hottest domain in one partition; here a
+    hash-range PRE-FILTER (keep bucket < oversample·quota/n share)
+    bounds the window partition to ~oversample·quota rows per domain
+    regardless of skew — the per-domain counts are one cheap partial
+    aggregation broadcast back. Domains at/below quota skip straight
+    through. (With oversample≥2 the chance the prefilter passes fewer
+    than quota of a large domain is negligible; both engines apply the
+    SAME rule, so oracle parity holds bit-for-bit either way.)
+    """
+    b = _bucket(F.col(id_col), salt)
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    cutoff = F.least(
+        F.lit(1.0), F.lit(float(oversample) * quota) / F.col("_n"))
+    pre = (df.join(F.broadcast(counts), domain_col)
+           .withColumn("_b", b)
+           .filter((F.col("_n") <= quota)
+                   | (F.col("_b")
+                      < F.round(cutoff * _BUCKETS).cast("long"))))
+    w = Window.partitionBy(domain_col).orderBy("_b", id_col)
+    return (pre.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= quota)
+            .drop("_n", "_b", "_rk"))

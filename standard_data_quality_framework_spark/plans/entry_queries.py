@@ -2414,3 +2414,90 @@ def q12(spark, sf_dir):
                  .alias("high_line_count"),
                  F.sum(F.when(~hi, 1).otherwise(0))
                  .alias("low_line_count")))
+
+
+@register("q6_forecast_revenue", f"""
+SELECT round({_sum_cents_sql('l_extendedprice * l_discount')} / 100.0, 2)
+       AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6(spark, sf_dir):
+    """TPC-H q6 shape (forecast revenue change): single-table scan
+    with every predicate pushed to parquet, one global agg — the
+    pure filter-pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return f.agg(F.round(_sum_cents(rev) / 100.0, 2).alias("revenue"),
+                 F.count("*").alias("n_lines"))
+
+
+@register("q14_promo_revenue_share", f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE), 6) AS promo_share
+FROM (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+) l JOIN part p ON p.p_partkey = l.l_partkey
+""")
+def q14(spark, sf_dir):
+    """TPC-H q14 shape (promotion revenue share): month-filtered fact
+    scan, broadcast part dim, conditional-ratio agg in integer cents
+    for cross-engine exactness."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-03-01")
+                  & (F.col("l_shipdate") < "1996-06-01")))
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (li.select("l_partkey", cents.alias("cents"))
+         .join(F.broadcast(p.select("p_partkey", "p_type")),
+               F.col("l_partkey") == F.col("p_partkey")))
+    return j.agg(F.round(
+        100.0 * F.sum(F.when(F.col("p_type") == "PROMO",
+                             F.col("cents")).otherwise(0)).cast("double")
+        / F.sum("cents").cast("double"), 6).alias("promo_share"))
+
+
+_QUOTA_BKT = _bucket_sql("doc_id", "quota")
+
+
+@register("domain_quota_sample_documents", f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+pre AS (
+  SELECT d.doc_id, d.source, {_QUOTA_BKT} AS b, c.n
+  FROM documents d JOIN counts c ON d.source = c.source
+  WHERE c.n <= 15
+     OR {_QUOTA_BKT} < CAST(round(least(1.0, 2.0 * 15 / c.n) * 1000000)
+                            AS BIGINT)
+),
+rk AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS r
+  FROM pre
+)
+SELECT doc_id, source FROM rk WHERE r <= 15
+""")
+def domain_quota_sample_q(spark, sf_dir):
+    """Per-source quota curation (anti-domination): keep ≤15 docs per
+    source via the hash-prefiltered deterministic quota sampler — the
+    window partition is bounded by ~2·quota rows per source no matter
+    how skewed the source distribution is."""
+    from ..operators.sampling import domain_quota_sample
+    d = _t(spark, sf_dir, "documents")
+    return domain_quota_sample(d, "source", "doc_id", quota=15) \
+        .select("doc_id", "source")

@@ -610,3 +610,31 @@ def test_quality_stratified_sample_deterministic(spark):
     out2 = (quality_stratified_sample(df.repartition(13), "id", "q")
             .toPandas())
     assert sorted(out2["id"]) == sorted(out["id"])
+
+
+def test_domain_quota_sample_bounds_hot_domain(spark):
+    """Anti-domination curation: at most `quota` docs per domain, the
+    hot domain's window partition bounded by the hash prefilter, small
+    domains untouched, selection deterministic."""
+    from standard_data_quality_framework_spark.operators.sampling import (
+        domain_quota_sample)
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 18_000, F.lit("megasite.com"))
+        .otherwise(F.concat(F.lit("small"),
+                            (F.col("id") % 40).cast("string")))
+        .alias("dom"))
+    out = domain_quota_sample(df, "dom", "id", quota=25).toPandas()
+    per = out.groupby("dom").size()
+    assert per["megasite.com"] == 25
+    # 2000 tail rows over 40 domains = 50 each → capped at 25
+    assert (per.drop("megasite.com") == 25).all()
+    # a domain under quota passes through whole
+    df2 = df.union(spark.range(3).select(
+        (F.col("id") + 10**6).alias("id"), F.lit("tiny.org").alias("dom")))
+    out2 = domain_quota_sample(df2, "dom", "id", quota=25).toPandas()
+    assert (out2["dom"] == "tiny.org").sum() == 3
+    # determinism under repartitioning
+    out3 = (domain_quota_sample(df.repartition(17), "dom", "id", quota=25)
+            .toPandas())
+    assert sorted(out3["id"]) == sorted(out["id"])
