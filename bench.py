@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "domain_quota_sample_documents",
     "q6_forecast_revenue",
     "q8_market_share",
+    "curation_pipeline_documents",
 ]
 
 

@@ -2501,3 +2501,108 @@ def domain_quota_sample_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return domain_quota_sample(d, "source", "doc_id", quota=15) \
         .select("doc_id", "source")
+
+
+_CUR_BKT_Q = _bucket_sql("doc_id", "qstrat")
+_CUR_BKT_D = _bucket_sql("doc_id", "quota")
+
+
+@register("curation_pipeline_documents", f"""
+WITH v1 AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
+                   * 1.0 / len(text) ELSE 0.0 END AS nonalnum_frac,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> list_contains({_STOPLIST_SQL}, lower(x)))) END
+              AS stop_hits,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+  FROM documents
+),
+kept AS (
+  -- greatest(n_words,1): WHERE conjuncts are not short-circuit, so an
+  -- empty doc (n_words=0, already excluded by the >=20 term) must not
+  -- divide by zero; identical semantics for the surviving rows
+  SELECT doc_id, text, lang, source FROM v1
+  WHERE n_words >= 20
+    AND n_sym * 1.0 / greatest(n_words, 1) <= 0.1
+    AND stop_hits * 1.0 / greatest(n_words, 1) >= 0.04
+    AND nonalnum_frac <= 0.3
+    AND NOT is_dup
+),
+s2 AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                   / len(text) ELSE 0.0 END AS punct,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> list_contains({_STOPLIST_SQL}, lower(x)))) END
+              AS stop_hits
+  FROM kept
+),
+q2 AS (
+  SELECT doc_id, lang, source,
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least((CASE WHEN n_tokens > 0
+                                   THEN stop_hits * 1.0 / n_tokens
+                                   ELSE 0.0 END) * 4, 1.0)
+               + 0.3 * (1.0 - least(punct * 5, 1.0)), 6) AS quality
+  FROM s2
+),
+strat AS (
+  SELECT doc_id, lang, source, quality,
+         CASE WHEN quality < 0.4 THEN 'low'
+              WHEN quality < 0.7 THEN 'mid' ELSE 'high' END AS tier
+  FROM q2
+  WHERE {_CUR_BKT_Q} < CAST(round(
+        (CASE WHEN quality < 0.4 THEN 0.1
+              WHEN quality < 0.7 THEN 0.5 ELSE 1.0 END) * 1000000)
+        AS BIGINT)
+),
+counts AS (SELECT source, count(*) AS n FROM strat GROUP BY source),
+pre AS (
+  SELECT st.doc_id, st.lang, st.source, st.quality, st.tier,
+         {_CUR_BKT_D} AS b
+  FROM strat st JOIN counts c ON st.source = c.source
+  WHERE c.n <= 10
+     OR {_CUR_BKT_D} < CAST(round(least(1.0, 2.0 * 10 / c.n) * 1000000)
+                            AS BIGINT)
+),
+rk AS (
+  SELECT doc_id, lang, source, quality, tier,
+         row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS r
+  FROM pre
+)
+SELECT doc_id, lang, source, quality, tier FROM rk WHERE r <= 10
+""")
+def curation_pipeline_q(spark, sf_dir):
+    """End-to-end curation composition — the shape a training-data
+    run actually executes, each stage an already-oracle-checked
+    operator: (1) native-rule keep/drop verdict (Gopher/C4-style
+    rules + per-corpus exact-dup window), (2) quality-stratified
+    hash sampling over the C4-ish composite score, (3) per-source
+    quota anti-domination. One declarative DAG: verdict window →
+    narrow score/filter projections → bounded quota window; the only
+    shuffles are the verdict's md5 window and the quota stage's
+    bounded (source, hash) window."""
+    from ..operators.sampling import (domain_quota_sample,
+                                      quality_stratified_sample)
+    kept_ids = (pipeline_verdict_q(spark, sf_dir)
+                .filter(F.col("keep")).select("doc_id"))
+    d = (_t(spark, sf_dir, "documents")
+         .join(kept_ids, "doc_id", "left_semi"))
+    scored = (textstats.quality_scores(d, "doc_id", "text",
+                                       keep_cols=("lang", "source"))
+              .select("id", "lang", "source", "quality"))
+    strat = (quality_stratified_sample(scored, "id", "quality")
+             .drop("keep_rate"))
+    out = domain_quota_sample(strat, "source", "id", quota=10)
+    return out.select(F.col("id").alias("doc_id"),
+                      "lang", "source", "quality", "tier")
