@@ -47,6 +47,13 @@ AUDIT = [
     # (ObjectHashAggregate) around one exchange
     ("series_fingerprint_native_users",
      [r"ObjectHashAggregate(.|\n)*Exchange(.|\n)*ObjectHashAggregate"]),
+    # round-4 additions: quota sampling ranks inside a bounded window;
+    # q6 pushes every predicate to the scan; the curation composition
+    # keeps the verdict + quota windows and broadcasts the count dims
+    ("domain_quota_sample_documents", ["Window", "BroadcastHashJoin"]),
+    ("q6_forecast_revenue", ["PushedFilters"]),
+    ("curation_pipeline_documents", ["Window", "BroadcastHashJoin"]),
+    ("q8_market_share", ["BroadcastHashJoin"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the
