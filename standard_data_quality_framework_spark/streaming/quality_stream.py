@@ -24,7 +24,18 @@ Two entry points:
       sees one crawl day at a time; this keeps the canonical id per
       content hash in the state store, so a document re-crawled three
       epochs later is still flagged — the streaming analogue of the
-      global dedup job for the EXACT-duplicate tier.
+      global dedup job for the EXACT-duplicate tier. Optional
+      ``ttl_hours`` bounds state retention via ProcessingTimeTimeout.
+
+Note on transformWithStateInPandas (Spark 4's successor API, with
+native per-state TTL via getValueState(ttlDurationMs=…)): verified
+present in this PySpark build and a port of the dedup processor runs
+up to the worker boundary, but its Python worker requires protobuf
+(state-server protocol), which is not installed in this sandbox and
+cannot be added (no pip) — environment-blocked, same class as the
+Iceberg runtime jar. The applyInPandasWithState implementation below
+is semantically equivalent (incl. TTL eviction, tested) and remains
+the supported path.
 """
 
 from __future__ import annotations
