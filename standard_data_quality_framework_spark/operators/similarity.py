@@ -51,11 +51,15 @@ def cosine_topk(candidates: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rank") <= k))
 
 
-def lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
-                n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """(id, bucket) — sign-LSH bucket id from deterministic planes."""
-    planes = hyperplanes(n_planes, dim)
-    v = F.col(vec_col).cast("array<double>")
+def lsh_bucket_col(vec: F.Column, n_planes: int = 8, dim: int = 64,
+                   first_plane: int = 0) -> F.Column:
+    """Sign-LSH bucket id COLUMN from deterministic hyperplanes
+    ``first_plane .. first_plane + n_planes - 1``. Exposing the plane
+    offset lets callers build L independent hash tables (disjoint
+    plane sets) for OR-amplified recall — see
+    dedup.embedding_neardup_pairs."""
+    planes = hyperplanes(first_plane + n_planes, dim)[first_plane:]
+    v = vec.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         pl = F.array(*[F.lit(x) for x in plane])
@@ -63,7 +67,16 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
                           F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(dot > 0,
                                  F.lit(2 ** p).cast("long")).otherwise(0)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
+                n_planes: int = 8, dim: int = 64,
+                first_plane: int = 0) -> DataFrame:
+    """(id, bucket) — sign-LSH bucket id from deterministic planes."""
+    return df.select(F.col(id_col).alias("id"),
+                     lsh_bucket_col(F.col(vec_col), n_planes, dim,
+                                    first_plane).alias("bucket"))
 
 
 def lsh_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
