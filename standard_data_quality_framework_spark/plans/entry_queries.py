@@ -48,6 +48,11 @@ def _sum_cents_sql(expr: str) -> str:
     return f"CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS BIGINT)"
 
 
+def _bucket_sql(key_expr: str, salt: str) -> str:
+    h = hash60_sql(f"'{salt}' || '␟' || CAST({key_expr} AS VARCHAR)")
+    return f"({h}) % 1000000"
+
+
 def register(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -1723,10 +1728,13 @@ def ann_ivf_q(spark, sf_dir):
                               k=5, n_cells=16, n_probe=2)
 
 
-def _kmeans_cells_sql(n_cells: int, n_iter: int) -> str:
+def _kmeans_cells_sql(n_cells: int, n_iter: int,
+                      train_src: str = "v") -> str:
     """Unrolled spherical-k-means CTE chain c0 → c{n_iter} (the SQL
     mirror of similarity.ivf_centroids_kmeans: fixed rounds, 6-dp
-    rounded means, empty cells carry the previous centroid)."""
+    rounded means, empty cells carry the previous centroid).
+    ``train_src`` names the CTE the Lloyd rounds train on — `v` for
+    full-corpus, or a hash-sampled `vt` mirroring train_frac."""
     cos = ("list_dot_product(v.e, c.cv) / (sqrt(list_dot_product(v.e, v.e))"
            " * sqrt(list_dot_product(c.cv, c.cv)))")
     parts = [f"c0 AS (SELECT vec_id AS cell, e AS cv FROM v "
@@ -1737,7 +1745,7 @@ def _kmeans_cells_sql(n_cells: int, n_iter: int) -> str:
     SELECT v.vec_id, c.cell,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {cos} DESC, c.cell) AS rnk
-    FROM v CROSS JOIN c{i} c
+    FROM {train_src} v CROSS JOIN c{i} c
   ) WHERE rnk = 1
 ),
 m{i} AS (
@@ -1756,7 +1764,8 @@ c{i + 1} AS (
 
 @register("ann_ivf_kmeans", f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-{_kmeans_cells_sql(16, 2)},
+vt AS (SELECT * FROM v WHERE {_bucket_sql('vec_id', 'ivftrain')} < 500000),
+{_kmeans_cells_sql(16, 2, train_src='vt')},
 ca AS (
   SELECT vec_id AS neighbor_id, cell FROM (
     SELECT v.vec_id, c.cell,
@@ -1793,13 +1802,17 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 def ann_ivf_kmeans_q(spark, sf_dir):
     """IVF ANN with a k-means-refined quantizer (judge r2 task #6):
     lowest-id seeds + 2 deterministic Lloyd rounds (cosine assignment,
-    6-dp-rounded means, empty-cell carryover), corpus assigned rank-1,
-    queries probe their 2 nearest cells. The oracle unrolls the same
-    two rounds in SQL."""
+    6-dp-rounded means, empty-cell carryover) trained on a
+    deterministic 50% hash sample (judge r4 task #3 — FAISS-style
+    sample training; the full corpus is only ASSIGNED, never
+    iterated). Corpus assigned rank-1, queries probe their 2 nearest
+    cells. The oracle unrolls the same two rounds in SQL over the
+    same `vt` bucket-predicate sample."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_ann(emb, q, "vec_id", "embedding",
-                              k=5, n_cells=16, n_probe=2, kmeans_iters=2)
+                              k=5, n_cells=16, n_probe=2, kmeans_iters=2,
+                              train_frac=0.5)
 
 
 @register("multimodal_frame_offsets", """
@@ -2159,11 +2172,6 @@ def scd2_history_q(spark, sf_dir):
                   .otherwise(F.col("text")).alias("c"))
     snaps = s1.unionByName(s2).unionByName(s3)
     return scd2_history(snaps, "k", "ts", "c")
-
-
-def _bucket_sql(key_expr: str, salt: str) -> str:
-    h = hash60_sql(f"'{salt}' || '␟' || CAST({key_expr} AS VARCHAR)")
-    return f"({h}) % 1000000"
 
 
 @register("hash_split_documents", f"""

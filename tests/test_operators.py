@@ -421,13 +421,19 @@ def test_ivf_kmeans_quantizer_recall_and_determinism(spark):
     exact = similarity.cosine_topk(emb, q, "vec_id", "embedding",
                                    k=5).toPandas()
     e = set(zip(exact.query_id, exact.neighbor_id))
-    for iters, floor in [(0, 0.8), (2, 0.8)]:
+    # (iters, train_frac, n_probe, floor); the sample-trained quantizer
+    # (r4 task #3) trades slightly coarser centroids for bounded
+    # training cost — the standard IVF compensation is one extra probe
+    for iters, frac, n_probe, floor in [(0, None, 4, 0.8),
+                                        (2, None, 4, 0.8),
+                                        (2, 0.5, 5, 0.8)]:
         approx = similarity.ivf_ann(emb, q, "vec_id", "embedding", k=5,
-                                    n_cells=16, n_probe=4,
-                                    kmeans_iters=iters).toPandas()
+                                    n_cells=16, n_probe=n_probe,
+                                    kmeans_iters=iters,
+                                    train_frac=frac).toPandas()
         recall = len(e & set(zip(approx.query_id, approx.neighbor_id))) \
             / len(e)
-        assert recall >= floor, (iters, recall)
+        assert recall >= floor, (iters, frac, recall)
 
     cents = similarity.ivf_centroids_kmeans(
         emb, "vec_id", "embedding", n_cells=16, n_iter=2).toPandas()
@@ -638,3 +644,51 @@ def test_domain_quota_sample_bounds_hot_domain(spark):
     out3 = (domain_quota_sample(df.repartition(17), "dom", "id", quota=25)
             .toPandas())
     assert sorted(out3["id"]) == sorted(out["id"])
+
+
+def test_embedding_lsh_recall_or_amplified(spark):
+    """Judge r4 task #2: measured recall of the OR-amplified sign-LSH
+    near-dup vs the exact all-pairs path, on planted boundary pairs.
+
+    Analysis at threshold 0.95 (θ≈18.2°, per-plane agreement ≈0.90):
+    one 8-plane table finds a boundary pair with prob ≈0.43; four
+    OR-ed tables lift that to ≈0.89. The planted pairs here sit at
+    cos 0.95–0.99, so expected recall is ≥0.89; the test demands the
+    contract floor 0.8. Precision must be exactly 1 (cosine-verified
+    candidates only)."""
+    rng = np.random.RandomState(7)
+    dim = 64
+    base = rng.randn(150, dim)
+    rows = []
+    for i in range(150):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((i, [float(x) for x in v]))
+    # 100 planted near-dups at cosine ~0.95-0.99 of bases 0..99
+    for j in range(100):
+        v = base[j] / np.linalg.norm(base[j])
+        # mix with an orthogonalized random direction at angle theta
+        r = rng.randn(dim)
+        r -= r.dot(v) * v
+        r /= np.linalg.norm(r)
+        cos = rng.uniform(0.951, 0.99)
+        u = cos * v + np.sqrt(1 - cos * cos) * r
+        rows.append((1000 + j, [float(x) for x in u]))
+    emb2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    exact = dedup.embedding_neardup_pairs(
+        emb2, "vec_id", "embedding", threshold=0.95,
+        n_planes=0).toPandas()
+    approx = dedup.embedding_neardup_pairs(
+        emb2, "vec_id", "embedding", threshold=0.95,
+        n_planes=8, dim=dim, n_tables=4).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    assert len(exact_pairs) >= 90  # the planted pairs are really there
+    assert approx_pairs <= exact_pairs  # precision 1.0
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+    # single AND-only table would miss far more — the amplification is real
+    one_table = dedup.embedding_neardup_pairs(
+        emb2, "vec_id", "embedding", threshold=0.95,
+        n_planes=8, dim=dim, n_tables=1).toPandas()
+    assert len(set(zip(one_table.id_a, one_table.id_b))) < len(approx_pairs)
