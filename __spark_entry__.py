@@ -28,42 +28,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness probe samples the FIRST 50 entries of
-# queries(), so ordering is evidence routing (judge r3 task #1): the
-# newest / highest-risk operators go first, and the longest-stable
-# single-metric queries (green since round 1, all still replayed over
-# DuckDB by tests/test_entry_oracle.py) yield their window slots last.
-_WINDOW_HEAD = [
-    # round-3 additions that never got a driver correctness row
-    "ann_ivf_kmeans", "ann_ivf_probed", "asof_last_purchase_value",
-    "range_join_event_bands", "scd2_history_documents",
-    "crawl_diff_documents", "price_quantiles_by_flag",
-    "hll_distinct_users", "bottomk_users_per_type",
-    "multimodal_frame_offsets", "q10_returned_revenue",
-    "q18_large_volume_orders", "hash_split_documents",
-    "balanced_resample_documents",
-]
-_WINDOW_TAIL = [
-    "user_sessions", "daily_event_mix", "completeness_documents",
-    "accuracy_ranges_lineitem", "coherence_types_documents",
-    "representativity_maxdev_lang", "representativity_totaldev_lang",
-    "balance_value_buckets", "duplicate_rows_documents",
-    "metadata_granularity_documents", "piecewise_rating_by_source",
-    "stage_consistency_lineitem", "subgroup_diversity_events",
-    "grouped_error_ratio_events", "modal_consistency_orders",
-    "identical_columns_documents", "identical_columns_positional",
-    "expected_columns_documents", "semi_join_coverage_customers",
-    "salted_source_counts", "piecewise_hib_rating_by_source",
-    "qualitative_combined_rating", "token_stats_documents",
-    "langid_heuristic_documents", "doc_fingerprint_documents",
-    "fullouter_pairing_events",
-]
+# queries(). The registry (74+ queries) has outgrown that window, so
+# ordering follows a NEUTRAL, self-maintaining rotation rule — not a
+# hand-curated list (ADVICE r4): queries WITHOUT a row in the latest
+# driver CORRECTNESS artifact come first (least-recently-probed
+# first), each group in registration order. Any two consecutive
+# driver rounds therefore jointly cover the whole registry, and a new
+# query is always probed in its first round. The rotated-out tail is
+# still replayed against DuckDB every round by
+# tests/test_entry_oracle.py (all queries, sf0.001).
+
+
+def _latest_probed() -> set[str]:
+    import glob
+    import json
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        return set()
+    try:
+        with open(files[-1]) as f:
+            return set(json.load(f))
+    except (OSError, ValueError):
+        return set()
 
 
 def _ordered(names: list[str]) -> list[str]:
-    head = [n for n in _WINDOW_HEAD if n in names]
-    tail = [n for n in _WINDOW_TAIL if n in names]
-    mid = [n for n in names if n not in set(head) | set(tail)]
-    return head + mid + tail
+    probed = _latest_probed()
+    fresh = [n for n in names if n not in probed]
+    stale = [n for n in names if n in probed]
+    return fresh + stale
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

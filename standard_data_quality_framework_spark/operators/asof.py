@@ -115,11 +115,12 @@ def asof_join_sliced(left: DataFrame, right: DataFrame, key_col: str,
          rows-per-key-per-slice, a knob (slice_width), not the data;
       2. within-slice carry: the same last-ignorenulls window, now
          partitioned by (key, slice) — balanced;
-      3. cross-slice carry-in: ONE summary row per (key, slice)
-         (latest right payload in the slice — max_by, partial-agg
-         friendly), prefix-scanned per key. That frame is
-         |keys|·|slices| — data-independent — so its key-only window
-         is tiny;
+      3. cross-slice carry-in: ONE summary row per (key, slice) with
+         each value column's latest NON-NULL (ts, value) — per-column,
+         so in-slice NULLs never mask an earlier non-null value,
+         matching asof_join's last-ignorenulls semantics exactly —
+         prefix-scanned per key. That frame is |keys|·|slices| —
+         data-independent — so its key-only window is tiny;
       4. final value = within-slice carry, else the carry-in from the
          latest earlier slice (floor is monotone: an earlier slice's
          right rows are all ≤ this row's ts, so semantics match
@@ -154,30 +155,45 @@ def asof_join_sliced(left: DataFrame, right: DataFrame, key_col: str,
                   .alias("_c_ts"))
     scanned = u.select("*", *carried, carried_ts)
 
-    # (3) one summary row per (key, slice): latest right payload
+    # (3) per (key, slice) summaries, PER COLUMN (ADVICE r4): asof_join
+    # carries the last NON-NULL value of each column independently
+    # (last(..., ignorenulls=True)), so a slice summary that kept only
+    # the latest right ROW would lose a non-null value overwritten by
+    # a later in-slice NULL. One max(struct(ts, value)) over each
+    # column's non-null rows = that column's latest non-null (ts ties
+    # break on value — the plain window's order among equal-ts right
+    # rows is equally unpinned), plus the slice's latest right ts for
+    # the tolerance check (which, matching asof_join, compares against
+    # the latest right ROW, not per-column timestamps). All aggregates
+    # are partial-agg friendly.
+    per_col = [F.max(F.when(F.col(f"_r_{v}").isNotNull(),
+                            F.struct(F.col(ts_col).alias("_t"),
+                                     F.col(f"_r_{v}").alias("_v"))))
+               .alias(f"_s_{v}") for v in value_cols]
     sums = (u.filter(F.col("_side") == 0)
             .groupBy(key_col, "_slice")
-            .agg(F.max(F.struct(F.col(ts_col).alias("_t"),
-                                *[F.col(f"_r_{v}").alias(v)
-                                  for v in value_cols])).alias("_s")))
+            .agg(F.max(F.col(ts_col)).alias("_s_ts"), *per_col))
     slices = u.select(key_col, "_slice").distinct()
     w_carry = (Window.partitionBy(key_col).orderBy("_slice")
                .rowsBetween(Window.unboundedPreceding, -1))
     carry = (slices.join(sums, [key_col, "_slice"], "left")
              .select(key_col, "_slice",
-                     F.last("_s", ignorenulls=True).over(w_carry)
-                     .alias("_in")))
+                     F.last("_s_ts", ignorenulls=True).over(w_carry)
+                     .alias("_in_ts"),
+                     *[F.last(F.col(f"_s_{v}"), ignorenulls=True)
+                       .over(w_carry).alias(f"_in_{v}")
+                       for v in value_cols]))
 
     # (4) stitch: within-slice carry wins, else slice carry-in
     out = (scanned.filter(F.col("_side") == 1)
            .join(carry, [key_col, "_slice"], "left"))
-    final_ts = F.coalesce(F.col("_c_ts"), F.col("_in._t"))
+    final_ts = F.coalesce(F.col("_c_ts"), F.col("_in_ts"))
     if tolerance is not None:
         ok = (F.col(ts_col) - final_ts) <= tolerance
         sel = [F.when(ok, F.coalesce(F.col(f"_c_{v}"),
-                                     F.col(f"_in.{v}"))).alias(v)
+                                     F.col(f"_in_{v}._v"))).alias(v)
                for v in value_cols]
     else:
-        sel = [F.coalesce(F.col(f"_c_{v}"), F.col(f"_in.{v}")).alias(v)
+        sel = [F.coalesce(F.col(f"_c_{v}"), F.col(f"_in_{v}._v")).alias(v)
                for v in value_cols]
     return out.select(*lcols, *sel)

@@ -187,3 +187,60 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     return (kh.select("id", fps.alias("_fps"))
             .select("id", F.explode_outer("_fps").alias("fp"))
             .filter(F.col("fp").isNotNull()))
+
+
+def _word_gram_hashes(df: DataFrame, id_col: str, text_col: str,
+                      n: int) -> DataFrame:
+    """(id, grams: array<long>) — DISTINCT 60-bit hashes of the doc's
+    word n-grams (space-joined). Row-local; the token array is
+    materialized behind a projection boundary (size() + transform =
+    two non-cheap references, so CollapseProject keeps the boundary —
+    same trick as winnowing_fingerprints) so the split never
+    re-evaluates per gram."""
+    t = df.select(F.col(id_col).alias("id"),
+                  F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    n_grams = F.size("_toks") - (n - 1)
+    # when() guard INSIDE the projection: sequence(1, k) with k <= 0
+    # generates a DESCENDING sequence, not an empty one
+    grams = (F.when(n_grams > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: hash60(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))))))
+        .otherwise(F.array().cast("array<long>")))
+    return t.select("id", grams.alias("grams"))
+
+
+def decontaminate(train: DataFrame, evals: DataFrame, id_col: str,
+                  text_col: str, n: int = 13,
+                  eval_id_col: str | None = None,
+                  eval_text_col: str | None = None) -> DataFrame:
+    """(id, n_grams, n_contaminated, contaminated_frac, contaminated)
+    — benchmark-decontamination flagging, GPT-3/Pile-style: a training
+    document is contaminated if it shares at least one word n-gram
+    (n=13 in the GPT-3 appendix) with any document of the evaluation
+    set.
+
+    Scale shape: the EVAL side is small by definition (a benchmark),
+    so its distinct gram-hash set is aggregated to one array and
+    broadcast; the train side then computes per-doc overlap with one
+    row-local ``array_intersect`` — ZERO shuffles over the 10^12-doc
+    train corpus (the only exchange is the tiny eval-side aggregate).
+    Recasts the reference's cross-dataset membership checks
+    (app.py:899-907 set-intersection coverage) onto the train/eval
+    leakage axis.
+    """
+    eval_grams = (
+        _word_gram_hashes(evals, eval_id_col or id_col,
+                          eval_text_col or text_col, n)
+        .select(F.explode("grams").alias("g"))
+        .agg(F.collect_set("g").alias("_eval_grams")))
+    g = _word_gram_hashes(train, id_col, text_col, n)
+    overlap = F.size(F.array_intersect("grams", "_eval_grams"))
+    return (g.crossJoin(F.broadcast(eval_grams))
+            .select(
+                "id",
+                F.size("grams").alias("n_grams"),
+                overlap.alias("n_contaminated"),
+                F.when(F.size("grams") > 0,
+                       F.round(overlap / F.size("grams"), 6))
+                .otherwise(F.lit(0.0)).alias("contaminated_frac"),
+                (overlap > 0).alias("contaminated")))

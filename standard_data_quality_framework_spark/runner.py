@@ -259,16 +259,22 @@ def run_global_dedup(spark: SparkSession, warehouse: str,
     mode = "full"
     prior = None
     prior_depth = 0
+    st = None
     if catalog.exists("dedup_state"):
         st = catalog.read("dedup_state").first()
-        if st is not None:
-            prior_depth = int(st.chain_depth)
     if incremental and catalog.exists("dup_clusters"):
         prior = catalog.read("dup_clusters")
         prior_days = sorted(str(r[0]) for r in
                             prior.select("warc_date").distinct().collect())
         prior_snap = hashlib.md5(
             ",".join(prior_days).encode()).hexdigest()[:16]
+        # honor chain_depth only when the state row was written FOR the
+        # snapshot dup_clusters currently represents (ADVICE r4): a
+        # stale marker — dup_clusters wiped/rebuilt out-of-band, or
+        # state left by an aborted sequence — would force or defer full
+        # rebuilds at the wrong cadence. Mismatch ⇒ treat depth as 0.
+        if st is not None and str(st.snapshot) == prior_snap:
+            prior_depth = int(st.chain_depth)
         if (prior_days and set(prior_days) < set(days)
                 and _lineage_done(prior_snap)
                 and (full_rebuild_every is None

@@ -692,3 +692,31 @@ def test_embedding_lsh_recall_or_amplified(spark):
         emb2, "vec_id", "embedding", threshold=0.95,
         n_planes=8, dim=dim, n_tables=1).toPandas()
     assert len(set(zip(one_table.id_a, one_table.id_b))) < len(approx_pairs)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Judge r4 task #5: a train doc quoting one 8-gram of the eval
+    set is flagged; clean and too-short docs are not."""
+    from standard_data_quality_framework_spark.operators.textstats import (
+        decontaminate)
+    evals = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "intro words here then the quick brown fox jumps over "
+             "the lazy dog tonight and more trailing words"),
+         (2, "a completely unrelated document about gardening with "
+             "plenty of words to clear the gram threshold easily"),
+         (3, "too short for grams")],
+        "doc_id long, text string")
+    out = decontaminate(train, evals, "doc_id", "text", n=8) \
+        .toPandas().set_index("id").sort_index()
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "n_contaminated"] >= 1
+    assert not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_grams"] == 0
+    assert not bool(out.loc[3, "contaminated"])
+    assert out.loc[3, "contaminated_frac"] == 0.0
+    # frac is overlap / distinct grams of the train doc
+    assert abs(out.loc[1, "contaminated_frac"]
+               - out.loc[1, "n_contaminated"] / out.loc[1, "n_grams"]) < 1e-6  # 6-dp rounding

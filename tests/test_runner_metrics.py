@@ -384,3 +384,30 @@ def test_global_dedup_delta_member_sample(spark, tmp_path):
         out = spark.read.parquet(f"{wh}/dup_clusters").toPandas()
         cl = out.drop_duplicates("url").set_index("url")["cluster_id"]
         assert (cl["md3"] == "ma1") is expect_linked
+
+
+def test_global_dedup_stale_state_depth_ignored(spark, tmp_path):
+    """ADVICE r4 (low): a dedup_state row left over from an aborted
+    sequence (or an out-of-band dup_clusters rebuild) must not skew
+    the full_rebuild_every cadence — chain_depth is honored only when
+    the state's snapshot matches what dup_clusters currently holds."""
+    wh = str(tmp_path / "wh_stale")
+    rows = [(f"p{i:02d}", 1, f"doc {i} " + _BASE[: 40 + i]) for i in range(5)]
+    _write_pages_filtered(spark, wh, rows)
+    r1 = run_global_dedup(spark, wh, run_id="st-f", threshold=0.8)
+    assert r1["mode"] == "full"
+
+    # corrupt the state: bogus snapshot + depth already at the cadence
+    # limit — with the old unconditional read this forces a full rebuild
+    spark.createDataFrame(
+        [("deadbeefdeadbeef", "delta", 99, "bogus")],
+        "snapshot string, mode string, chain_depth int, run_id string") \
+        .write.mode("overwrite").parquet(f"{wh}/dedup_state")
+
+    _write_pages_filtered(
+        spark, wh, [("n1", 2, "new day two text " + _BASE[:30])],
+        mode="append")
+    r2 = run_global_dedup(spark, wh, run_id="st-d1", threshold=0.8,
+                          full_rebuild_every=2)
+    # stale depth ignored → treated as a fresh chain: delta, depth 1
+    assert r2["mode"] == "delta-approx" and r2["delta_depth"] == 1

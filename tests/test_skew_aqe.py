@@ -179,3 +179,28 @@ def test_verdict_dedup_balanced_under_mega_duplication(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_sliced_matches_plain_with_null_right_values(spark):
+    """ADVICE r4: a right value column containing NULLs must carry the
+    last NON-NULL value per column across slices (a later in-slice
+    NULL must not mask it) — exactly asof_join's semantics."""
+    from standard_data_quality_framework_spark.operators.asof import (
+        asof_join, asof_join_sliced)
+    # slice_width=8 → t=10 in slice 1, t=20 in slice 2, t=25 in slice 3
+    right = spark.createDataFrame(
+        [("k", 10.0, 5.0, None), ("k", 20.0, None, 7.0),
+         ("j", 4.0, 1.0, 2.0), ("j", 21.0, None, None)],
+        "key string, ts double, v double, w double")
+    left = spark.createDataFrame(
+        [("k", 25.0), ("k", 12.0), ("j", 30.0), ("j", 3.0)],
+        "key string, ts double")
+    plain = asof_join(left, right, "key", "ts", ["v", "w"]) \
+        .toPandas().sort_values(["key", "ts"]).reset_index(drop=True)
+    sliced = asof_join_sliced(left, right, "key", "ts", ["v", "w"],
+                              slice_width=8.0) \
+        .toPandas().sort_values(["key", "ts"]).reset_index(drop=True)
+    assert plain.equals(sliced), f"\n{plain}\n{sliced}"
+    # the regression case: k@25 sees v=5 (from t=10) though t=20 v=NULL
+    k25 = sliced[(sliced.key == "k") & (sliced.ts == 25.0)].iloc[0]
+    assert k25.v == 5.0 and k25.w == 7.0
