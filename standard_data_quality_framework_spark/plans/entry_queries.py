@@ -2589,6 +2589,33 @@ _CUR_BKT_Q = _bucket_sql("doc_id", "qstrat")
 _CUR_BKT_D = _bucket_sql("doc_id", "quota")
 
 
+def _curation_frames(spark, sf_dir):
+    """(pre_barrier, final) — the curation DAG split at its
+    materialization barrier, so the plan audit can assert BOTH halves
+    (the barrier hides the upstream plan behind an RDD scan)."""
+    from ..operators.sampling import (domain_quota_sample,
+                                      quality_stratified_sample)
+    kept_ids = (pipeline_verdict_q(spark, sf_dir)
+                .filter(F.col("keep")).select("doc_id"))
+    d = (_t(spark, sf_dir, "documents")
+         .join(kept_ids, "doc_id", "left_semi"))
+    scored = (textstats.quality_scores(d, "doc_id", "text",
+                                       keep_cols=("lang", "source"))
+              .select("id", "lang", "source", "quality"))
+    strat = (quality_stratified_sample(scored, "id", "quality")
+             .drop("keep_rate"))
+    # barrier: domain_quota_sample consumes its input TWICE (per-source
+    # counts + the prefiltered window); without a materialization point
+    # the whole verdict+score+sample subtree above — including its wide
+    # md5 exchange — executes twice (same divergent-pruning effect as
+    # pipeline.with_verdict). The checkpointed frame is slim (4 columns,
+    # post-sampling) and executor-local.
+    barrier = strat.localCheckpoint(eager=False)
+    out = domain_quota_sample(barrier, "source", "id", quota=10)
+    return strat, out.select(F.col("id").alias("doc_id"),
+                             "lang", "source", "quality", "tier")
+
+
 @register("curation_pipeline_documents", f"""
 WITH v1 AS (
   SELECT doc_id, text, lang, source,
@@ -2670,22 +2697,9 @@ def curation_pipeline_q(spark, sf_dir):
     operator: (1) native-rule keep/drop verdict (Gopher/C4-style
     rules + per-corpus exact-dup min-id aggregate+join), (2)
     quality-stratified hash sampling over the C4-ish composite score,
-    (3) per-source quota anti-domination. One declarative DAG:
-    verdict agg+join → narrow score/filter projections → bounded
-    quota window; the only wide shuffles are the verdict's md5
-    exchange pair and the quota stage's bounded (source, hash)
-    window."""
-    from ..operators.sampling import (domain_quota_sample,
-                                      quality_stratified_sample)
-    kept_ids = (pipeline_verdict_q(spark, sf_dir)
-                .filter(F.col("keep")).select("doc_id"))
-    d = (_t(spark, sf_dir, "documents")
-         .join(kept_ids, "doc_id", "left_semi"))
-    scored = (textstats.quality_scores(d, "doc_id", "text",
-                                       keep_cols=("lang", "source"))
-              .select("id", "lang", "source", "quality"))
-    strat = (quality_stratified_sample(scored, "id", "quality")
-             .drop("keep_rate"))
-    out = domain_quota_sample(strat, "source", "id", quota=10)
-    return out.select(F.col("id").alias("doc_id"),
-                      "lang", "source", "quality", "tier")
+    (3) per-source quota anti-domination. One declarative DAG with a
+    single materialization barrier before the quota stage (see
+    _curation_frames); wide shuffles: the verdict's md5 exchange pair
+    and the quota stage's bounded (source, hash) window — each
+    executed exactly once."""
+    return _curation_frames(spark, sf_dir)[1]

