@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q8_market_share",
     "curation_pipeline_documents",
+    "decontaminate_documents",
 ]
 
 
@@ -75,15 +76,18 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _pages_path(sf: float, n_pages: int) -> str:
+def _pages_path(sf: float, n_pages: int,
+                dup_frac: float = 0.0) -> str:
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"pages_n{n_pages}_seed42_parts")
+    tag = f"_dup{dup_frac}" if dup_frac else ""
+    path = os.path.join(cache, f"pages_n{n_pages}_seed42{tag}_parts")
     if not os.path.exists(path):
         from standard_data_quality_framework_spark.fixtures import (
             write_pages_parquet)
-        write_pages_parquet(path, n=n_pages, seed=42, n_files=48)
+        write_pages_parquet(path, n=n_pages, seed=42, n_files=48,
+                            dup_frac=dup_frac)
     return path
 
 
@@ -135,6 +139,19 @@ def main() -> None:
     all_samples["pipeline_quality_filter"] = runs
     docs_per_sec = n_pages / med
 
+    # adversarial mega-duplication fixture (judge r4 task #6): 30% of
+    # all pages are same-day verbatim copies of ONE viral template —
+    # the hot content-hash that wedged the old window-based dedup into
+    # a single sorting task. The agg+join verdict must stay within the
+    # clean fixture's throughput band.
+    pages_skew = spark.read.parquet(_pages_path(sf, n_pages,
+                                                dup_frac=0.3))
+    med, runs = _timed_median(
+        lambda: _force(run_quality_filter(spark, pages_skew, udfs=udfs)
+                       .verdicts), samples, warmup)
+    timings["pipeline_quality_filter_dupskew"] = med
+    all_samples["pipeline_quality_filter_dupskew"] = runs
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         med, runs = _timed_median(lambda: _force(fn(spark, sf_dir)),
@@ -152,6 +169,8 @@ def main() -> None:
         "cpus": cpus,
         "pages_rows": n_pages,
         "docs_per_sec_pipeline": round(docs_per_sec, 1),
+        "docs_per_sec_dupskew": round(
+            n_pages / timings["pipeline_quality_filter_dupskew"], 1),
         "protocol": f"median of {samples} after {warmup} warm-up",
     }
     # raw per-run samples go to a sidecar file, NOT stdout: the driver

@@ -153,7 +153,7 @@ def main() -> None:
 The reference publishes no benchmarks (see /root/repo/BASELINE.md), so
 targets come from the driver contract. North-rule scaling evidence —
 the SAME end-to-end quality-filter job (extract → native signals →
-langid/perplexity/repetition UDF → verdict window → scrub) on the SAME
+langid/perplexity/repetition UDF → verdict dedup agg+join → scrub) on the SAME
 {n_pages:,}-page input at two parallelism levels, separate JVMs,
 best-of-{rounds} with leftover-process drain + {COOLDOWN_S}s cool-down
 before every sample:
@@ -176,8 +176,9 @@ quality-filter job achieves
 (job speedup {report['speedup_lo_to_hi']}× ÷ hardware ceiling
 {report['hw_sustained_speedup']}×). On a real multi-executor
 cluster (N → 4N machines, no shared thermal budget) the job's scaling
-path is shuffle-free until the verdict window and AQE-coalesced after
-it; nothing in the plan is driver-serial.
+path is shuffle-free until the verdict dedup exchange (a skew-
+splittable aggregate+join since r5, never a window sort) and
+AQE-coalesced after it; nothing in the plan is driver-serial.
 
 Reproduce: `python bench_scaling.py {n_pages}`. Per-query suite:
 `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py`.

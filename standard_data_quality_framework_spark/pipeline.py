@@ -294,7 +294,7 @@ def run_quality_filter(spark: SparkSession, pages: DataFrame,
                                   "UTF-8"))
     df = pages.withColumn(
         "_p", udfs["process_page"](payload, F.col("html").isNotNull()))
-    # Shuffle-width budget for the dedup window (the pipeline's ONE
+    # Shuffle-width budget for the dedup exchange (the pipeline's ONE
     # wide exchange): exactly one text copy per row crosses it —
     #   * html/raw text are consumed by the UDF payload and dropped
     #     here (the kept sink re-emits scrubbed text, not html);

@@ -5,8 +5,8 @@ Two entry points:
   run_streaming_filter — readStream over a pages directory →
       foreachBatch(full batch pipeline) → partitioned parquet sink.
       foreachBatch is the right shape here because the verdict stage
-      includes a per-crawl-day dedup window: inside a micro-batch the
-      same deterministic batch DAG applies. Exactly-once: the file
+      includes a per-crawl-day exact-dup aggregate+join: inside a
+      micro-batch the same deterministic batch DAG applies. Exactly-once: the file
       source + checkpoint pin which files make up each epoch, and the
       sink is a dynamic partition overwrite keyed by batch_id — a
       RETRIED epoch rewrites exactly its own (batch_id=N, …)
@@ -20,8 +20,8 @@ Two entry points:
 
   streaming_exact_dedup — CUSTOM STATEFUL operator
       (applyInPandasWithState): cross-micro-batch first-occurrence
-      dedup keyed by content hash. The batch pipeline's dedup window
-      sees one crawl day at a time; this keeps the canonical id per
+      dedup keyed by content hash. The batch pipeline's per-day
+      dedup sees one crawl day at a time; this keeps the canonical id per
       content hash in the state store, so a document re-crawled three
       epochs later is still flagged — the streaming analogue of the
       global dedup job for the EXACT-duplicate tier. Optional
