@@ -599,3 +599,47 @@ def template_clusters(df: DataFrame, id_col: str, text_col: str,
              .agg(F.count("*").alias("cluster_size")))
     return lab.join(csize, "cluster_id").select(
         "id", "cluster_id", "cluster_size")
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               min_len: int = 10) -> DataFrame:
+    """(id, text_dedup) — corpus-level LINE deduplication, the C4
+    cleanup step (Raffel et al. 2020 discard duplicated three-sentence
+    spans; line granularity here): every line of ``min_len``+ chars
+    that occurs more than once in the corpus survives only at its
+    FIRST occurrence (lexicographic min (id, pos)); shorter lines
+    (bullets, headers, blanks) are exempt so document structure
+    survives. Documents are reassembled in original line order; a doc
+    whose every line was deduplicated away comes back with empty text.
+
+    Scale shape: posexplode to line rows (the honest cost — corpus-
+    level dedup must see every line once), then a groupBy on the
+    128-bit line hash with map-side partial aggregation (a boilerplate
+    line repeated 10^9 times collapses per input partition — the same
+    skew-immunity argument as pipeline.with_verdict), a hash-join back
+    on the same uniform key, and one id-keyed reassembly aggregation.
+    No window over the line-hash key: a viral line never serializes
+    into one sorting task.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    dd = (lines.filter(F.length("line") >= min_len)
+          .withColumn("_h", F.md5("line")))
+    firsts = dd.groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("_f"))
+    kept_dd = (dd.join(firsts.hint("SHUFFLE_HASH"), "_h")
+               .filter((F.col("id") == F.col("_f.id"))
+                       & (F.col("pos") == F.col("_f.pos")))
+               .select("id", "pos", "line"))
+    exempt = (lines.filter(F.length("line") < min_len)
+              .select("id", "pos", "line"))
+    rebuilt = (kept_dd.unionByName(exempt)
+               .groupBy("id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                       lambda x: x["line"]), "\n").alias("text_dedup")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(rebuilt, "id", "left")
+            .select("id",
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))

@@ -992,6 +992,34 @@ def doc_fingerprint_q(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=5)
 
 
+@register("line_dedup_documents", """
+WITH l AS (
+  SELECT doc_id, u.i - 1 AS pos, sp[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM documents),
+       UNNEST(generate_series(1, len(sp))) AS u(i)
+),
+k AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN len(line) < 10 THEN TRUE
+              ELSE row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, pos) = 1
+         END AS keep
+  FROM l
+)
+SELECT d.doc_id AS id,
+       coalesce(r.t, '') AS text_dedup
+FROM documents d
+LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+           FROM k WHERE keep GROUP BY doc_id) r USING (doc_id)
+""")
+def line_dedup_q(spark, sf_dir):
+    """C4-style corpus-level line dedup: duplicated 10+-char lines
+    survive only at their first (doc, pos) occurrence; docs are
+    reassembled in order."""
+    return dedup.line_dedup(_t(spark, sf_dir, "documents"),
+                            "doc_id", "text", min_len=10)
+
+
 @register("decontaminate_documents", f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -730,3 +730,25 @@ def test_simhash_rowfold_bit_equals_exploded(spark, docs):
     b = dedup.simhash_exploded(docs, "doc_id", "text", n_bits=32) \
         .toPandas().set_index("id").sort_index()
     assert (a.simhash == b.simhash).all()
+
+
+def test_line_dedup_first_occurrence_and_reassembly(spark):
+    """C4-style line dedup: a long line shared by three docs survives
+    only at its first (id, pos); short lines are exempt; line order is
+    preserved; a fully-duplicated doc comes back empty."""
+    from standard_data_quality_framework_spark.operators.dedup import (
+        line_dedup)
+    boiler = "subscribe to our newsletter for more updates"
+    rows = [
+        (0, f"unique opening line for document zero\n{boiler}\nshort"),
+        (1, f"{boiler}\nanother unique line for document one"),
+        (2, boiler),                       # only the boilerplate → empty
+        (3, "ok\n\nok"),                   # short + blank lines exempt
+    ]
+    out = line_dedup(spark.createDataFrame(rows, "doc_id long, text string"),
+                     "doc_id", "text", min_len=10) \
+        .toPandas().set_index("id").sort_index()
+    assert out.loc[0, "text_dedup"] == rows[0][1]  # first occurrence intact
+    assert out.loc[1, "text_dedup"] == "another unique line for document one"
+    assert out.loc[2, "text_dedup"] == ""
+    assert out.loc[3, "text_dedup"] == "ok\n\nok"
