@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q8_market_share",
     "curation_pipeline_documents",
     "decontaminate_documents",
+    "line_dedup_documents",
+    "url_dedup_documents",
 ]
 
 

@@ -59,11 +59,25 @@ AUDIT = [
     ("q6_forecast_revenue", ["PushedFilters"]),
     ("curation_pipeline_documents", ["Window", "BroadcastHashJoin"]),
     ("q8_market_share", ["BroadcastHashJoin"]),
+    # round-5: line dedup must keep the verdict shape — first-(id,pos)
+    # via partial-aggregating min over the line hash (SortAggregate:
+    # min(struct) has an immutable agg buffer) + skew-splittable
+    # hash join back, never a window sort over the line-hash key
+    ("line_dedup_documents",
+     ["ShuffledHashJoin",
+      r"Aggregate(.|\n)*Exchange(.|\n)*Aggregate"]),
+    ("url_dedup_documents",
+     ["ShuffledHashJoin",
+      r"Aggregate(.|\n)*Exchange(.|\n)*Aggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
 FORBID_EXTRA = [
     ("pipeline_verdict_documents", ["Window", "CartesianProduct"]),
+    ("line_dedup_documents",
+     ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("url_dedup_documents",
+     ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the

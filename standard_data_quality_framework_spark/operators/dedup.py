@@ -601,6 +601,37 @@ def template_clusters(df: DataFrame, id_col: str, text_col: str,
         "id", "cluster_id", "cluster_size")
 
 
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(id, url_norm, canonical_id, is_dup) — URL-level deduplication
+    on the canonical form from ``functions.urlnorm.normalize_url``
+    (CCNet / RefinedWeb both run this before any content pass: it is
+    the cheapest dedup tier, no text ever shuffles). The smallest id
+    per normalized URL is canonical; every other row is flagged, not
+    dropped, so callers choose filter vs audit.
+
+    Scale shape: same skew-safe aggregate+join as ``line_dedup`` /
+    ``pipeline.with_verdict`` — a crawl frontier revisiting one viral
+    URL 10^8 times collapses in map-side partial aggregation; no
+    window sort over the URL key.
+
+    NULL urls: an unknown URL is not "the same page" as another unknown
+    URL, so each NULL-url row stays its own canonical (never dropped,
+    never a dup) — the grouping key falls back to a per-row sentinel
+    that no real URL can collide with (URLs are trimmed, so none starts
+    with a control byte).
+    """
+    from ..functions.urlnorm import normalize_url
+    ids = df.select(F.col(id_col).alias("id"),
+                    normalize_url(url_col).alias("url_norm"))
+    ids = ids.withColumn(
+        "_ukey", F.coalesce("url_norm",
+                            F.concat(F.lit("\x00"), F.col("id").cast("string"))))
+    canon = ids.groupBy("_ukey").agg(F.min("id").alias("canonical_id"))
+    return (ids.join(canon.hint("SHUFFLE_HASH"), "_ukey")
+            .select("id", "url_norm", "canonical_id",
+                    (F.col("id") != F.col("canonical_id")).alias("is_dup")))
+
+
 def line_dedup(df: DataFrame, id_col: str, text_col: str,
                min_len: int = 10) -> DataFrame:
     """(id, text_dedup) — corpus-level LINE deduplication, the C4

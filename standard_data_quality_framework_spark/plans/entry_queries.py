@@ -1020,6 +1020,51 @@ def line_dedup_q(spark, sf_dir):
                             "doc_id", "text", min_len=10)
 
 
+@register("url_dedup_documents", """
+WITH d AS (
+  SELECT doc_id AS id,
+         'HTTPS://WWW.' || upper(source) || '.Example.com/Docs/' ||
+         CAST(doc_id % 40 AS VARCHAR) ||
+         '/?utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
+         '&utm_source=feed#sec-' ||
+         CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+n1 AS (SELECT id, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM d),
+n2 AS (SELECT id,
+              lower(regexp_extract(u,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+              substr(u, length(regexp_extract(u,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+       FROM n1),
+n3 AS (SELECT id, regexp_replace(u, '://www\\.', '://', 'g') AS u FROM n2),
+n4 AS (SELECT id, regexp_replace(u,
+              '(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM n3),
+n5 AS (SELECT id, regexp_replace(u, '\\?&', '?', 'g') AS u FROM n4),
+n6 AS (SELECT id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM n5),
+n7 AS (SELECT id, regexp_replace(u, '/+$', '', 'g') AS u FROM n6)
+SELECT id, u AS url_norm,
+       min(id) OVER (PARTITION BY u) AS canonical_id,
+       id <> min(id) OVER (PARTITION BY u) AS is_dup
+FROM n7
+""")
+def url_dedup_q(spark, sf_dir):
+    """URL-level dedup on canonicalized URLs (CCNet/RefinedWeb tier 0):
+    documents carries no url column, so derive a deterministic messy
+    one (upper-case www host, per-doc utm params, fragment) whose
+    canonical form collapses to (source, doc_id % 40) — real duplicate
+    clusters at every sf."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://WWW."), F.upper("source"),
+                 F.lit(".Example.com/Docs/"),
+                 (F.col("doc_id") % 40).cast("string"),
+                 F.lit("/?utm_campaign=c"), F.col("doc_id").cast("string"),
+                 F.lit("&utm_source=feed#sec-"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return dedup.url_dedup(d, "doc_id", "url")
+
+
 @register("decontaminate_documents", f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

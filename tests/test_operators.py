@@ -732,6 +732,44 @@ def test_simhash_rowfold_bit_equals_exploded(spark, docs):
     assert (a.simhash == b.simhash).all()
 
 
+def test_normalize_url_pinned_rewrites(spark):
+    """Canonicalization cases pinned one per rule: fragment, host case,
+    www alias, tracking params (leading / trailing / only), port kept,
+    schemeless passthrough."""
+    from standard_data_quality_framework_spark.functions.urlnorm import (
+        normalize_url)
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/Page?utm_source=x&id=3#frag",
+         "https://example.com/Path/Page?id=3"),
+        (" http://example.com/a/ ", "http://example.com/a"),
+        ("https://example.com/?utm_campaign=z", "https://example.com"),
+        ("http://example.com/x?fbclid=abc&keep=1",
+         "http://example.com/x?keep=1"),
+        ("https://Example.com:8080/A", "https://example.com:8080/A"),
+        ("no scheme here", "no scheme here"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_canonical_min_id(spark):
+    from standard_data_quality_framework_spark.operators.dedup import (
+        url_dedup)
+    rows = [(1, "HTTPS://WWW.site.com/p?utm_source=a"),
+            (2, "https://site.com/p"),
+            (3, "https://site.com/p/#x"),
+            (4, "https://other.com/q"),
+            (5, None),   # unknown URLs are each their own canonical,
+            (6, None)]   # never dropped and never each other's dup
+    out = url_dedup(spark.createDataFrame(rows, "doc_id long, url string"),
+                    "doc_id", "url").toPandas().set_index("id").sort_index()
+    assert (out.loc[[1, 2, 3], "url_norm"] == "https://site.com/p").all()
+    assert out.loc[[5, 6], "url_norm"].isna().all()
+    assert list(out.canonical_id) == [1, 1, 1, 4, 5, 6]
+    assert list(out.is_dup) == [False, True, True, False, False, False]
+
+
 def test_line_dedup_first_occurrence_and_reassembly(spark):
     """C4-style line dedup: a long line shared by three docs survives
     only at its first (id, pos); short lines are exempt; line order is
