@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "decontaminate_documents",
     "line_dedup_documents",
     "url_dedup_documents",
+    "host_stats_documents",
 ]
 
 

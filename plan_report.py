@@ -69,6 +69,11 @@ AUDIT = [
     ("url_dedup_documents",
      ["ShuffledHashJoin",
       r"Aggregate(.|\n)*Exchange(.|\n)*Aggregate"]),
+    # host stats ride url_dedup's agg+join then a partial-aggregating
+    # groupBy(host) — same no-window contract
+    ("host_stats_documents",
+     ["ShuffledHashJoin",
+      r"Aggregate(.|\n)*Exchange(.|\n)*Aggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -77,6 +82,8 @@ FORBID_EXTRA = [
     ("line_dedup_documents",
      ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("url_dedup_documents",
+     ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("host_stats_documents",
      ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 

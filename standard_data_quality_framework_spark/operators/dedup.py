@@ -632,6 +632,34 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
                     (F.col("id") != F.col("canonical_id")).alias("is_dup")))
 
 
+def url_host_stats(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(host, n_docs, n_urls, n_dup_docs, dup_frac) — per-host crawl
+    summary over canonicalized URLs: how many pages each host
+    contributed, how many distinct canonical URLs, and what fraction
+    were URL-level duplicates. This is the frontier-health report every
+    crawl curation loop starts from (which hosts are over-fetched,
+    which are all-duplicate) and the input for per-domain quota
+    decisions (`sampling.domain_quota_sample`).
+
+    Scale shape: ``url_dedup``'s skew-safe aggregate+join, then a
+    groupBy(host) of algebraic aggregates — map-side partial
+    aggregation combines a mega-host's rows before the shuffle, so one
+    domain owning half the crawl adds one combined row per map
+    partition, not reducer skew. ``count(distinct url_norm)`` expands
+    to a two-phase aggregate keyed by (host, url_norm) — near-unique,
+    uniform.
+    """
+    from ..functions.urlnorm import host_of
+    dd = url_dedup(df, id_col, url_col).withColumn(
+        "host", host_of("url_norm"))
+    return (dd.groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("url_norm").alias("n_urls"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+                 F.round(F.sum(F.col("is_dup").cast("double"))
+                         / F.count("*"), 6).alias("dup_frac")))
+
+
 def line_dedup(df: DataFrame, id_col: str, text_col: str,
                min_len: int = 10) -> DataFrame:
     """(id, text_dedup) — corpus-level LINE deduplication, the C4

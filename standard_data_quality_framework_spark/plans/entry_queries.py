@@ -1020,16 +1020,10 @@ def line_dedup_q(spark, sf_dir):
                             "doc_id", "text", min_len=10)
 
 
-@register("url_dedup_documents", """
-WITH d AS (
-  SELECT doc_id AS id,
-         'HTTPS://WWW.' || upper(source) || '.Example.com/Docs/' ||
-         CAST(doc_id % 40 AS VARCHAR) ||
-         '/?utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
-         '&utm_source=feed#sec-' ||
-         CAST(doc_id AS VARCHAR) AS url
-  FROM documents
-),
+# DuckDB mirror of functions.urlnorm.normalize_url, one CTE per rewrite
+# step; expects a CTE `d(id, url)` defined above it (Java regex and RE2
+# agree on every pattern used).
+_URLNORM_CHAIN_SQL = """
 n1 AS (SELECT id, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM d),
 n2 AS (SELECT id,
               lower(regexp_extract(u,
@@ -1042,7 +1036,19 @@ n4 AS (SELECT id, regexp_replace(u,
               '(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM n3),
 n5 AS (SELECT id, regexp_replace(u, '\\?&', '?', 'g') AS u FROM n4),
 n6 AS (SELECT id, regexp_replace(u, '[?&]+$', '', 'g') AS u FROM n5),
-n7 AS (SELECT id, regexp_replace(u, '/+$', '', 'g') AS u FROM n6)
+n7 AS (SELECT id, regexp_replace(u, '/+$', '', 'g') AS u FROM n6)"""
+
+
+@register("url_dedup_documents", f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         'HTTPS://WWW.' || upper(source) || '.Example.com/Docs/' ||
+         CAST(doc_id % 40 AS VARCHAR) ||
+         '/?utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
+         '&utm_source=feed#sec-' ||
+         CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),{_URLNORM_CHAIN_SQL}
 SELECT id, u AS url_norm,
        min(id) OVER (PARTITION BY u) AS canonical_id,
        id <> min(id) OVER (PARTITION BY u) AS is_dup
@@ -1063,6 +1069,46 @@ def url_dedup_q(spark, sf_dir):
                  F.lit("&utm_source=feed#sec-"),
                  F.col("doc_id").cast("string")).alias("url"))
     return dedup.url_dedup(d, "doc_id", "url")
+
+
+@register("host_stats_documents", f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         'HTTPS://WWW.s' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+         upper(source) || '.Example.com/Docs/' ||
+         CAST(doc_id % 40 AS VARCHAR) ||
+         '/?utm_campaign=c' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),{_URLNORM_CHAIN_SQL},
+u AS (
+  SELECT id, u AS url_norm,
+         id <> min(id) OVER (PARTITION BY u) AS is_dup
+  FROM n7
+)
+SELECT lower(regexp_extract(url_norm,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+       count(*) AS n_docs,
+       count(DISTINCT url_norm) AS n_urls,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_frac
+FROM u GROUP BY 1
+""")
+def host_stats_q(spark, sf_dir):
+    """Per-host crawl summary (doc counts, distinct canonical URLs,
+    URL-dup fraction) over the same derived messy-URL fixture as
+    ``url_dedup_documents`` plus a doc_id%7 subdomain so every sf
+    yields a few dozen hosts with real duplicate mass."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://WWW.s"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("."),
+                 F.upper("source"), F.lit(".Example.com/Docs/"),
+                 (F.col("doc_id") % 40).cast("string"),
+                 F.lit("/?utm_campaign=c"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return dedup.url_host_stats(d, "doc_id", "url")
 
 
 @register("decontaminate_documents", f"""

@@ -770,6 +770,23 @@ def test_url_dedup_canonical_min_id(spark):
     assert list(out.is_dup) == [False, True, True, False, False, False]
 
 
+def test_url_host_stats_hand_computed(spark):
+    from standard_data_quality_framework_spark.operators.dedup import (
+        url_host_stats)
+    rows = [(1, "https://www.A.com/x?utm_source=1"),
+            (2, "https://a.com/x"),
+            (3, "https://a.com/y"),
+            (4, "https://b.com/x")]
+    out = (url_host_stats(
+        spark.createDataFrame(rows, "doc_id long, url string"),
+        "doc_id", "url").toPandas().set_index("host").sort_index())
+    assert list(out.index) == ["a.com", "b.com"]
+    assert list(out.n_docs) == [3, 1]
+    assert list(out.n_urls) == [2, 1]
+    assert list(out.n_dup_docs) == [1, 0]
+    assert list(out.dup_frac) == [0.333333, 0.0]
+
+
 def test_line_dedup_first_occurrence_and_reassembly(spark):
     """C4-style line dedup: a long line shared by three docs survives
     only at its first (id, pos); short lines are exempt; line order is
