@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "line_dedup_documents",
     "url_dedup_documents",
     "host_stats_documents",
+    "blocklist_filter_documents",
+    "host_indegree_documents",
 ]
 
 

@@ -74,6 +74,12 @@ AUDIT = [
     ("host_stats_documents",
      ["ShuffledHashJoin",
       r"Aggregate(.|\n)*Exchange(.|\n)*Aggregate"]),
+    # blocklist marking probes the broadcast list via per-depth
+    # equality joins — broadcast hash joins only, zero data shuffles
+    ("blocklist_filter_documents", ["BroadcastHashJoin"]),
+    # host in-degree: two-phase distinct aggregate, map-side combined
+    ("host_indegree_documents",
+     [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -85,6 +91,9 @@ FORBID_EXTRA = [
      ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     ("host_stats_documents",
      ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("blocklist_filter_documents",
+     ["ShuffledHashJoin", "SortMergeJoin", "CartesianProduct",
+      "BroadcastNestedLoopJoin"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the
@@ -120,6 +129,9 @@ COUNTED = [
     ("asof_last_purchase_value", r"\(\d+\) Exchange", 2),
     # stratified sampling is a narrow projection + filter — NO shuffle
     ("quality_stratified_sample_documents", r"\(\d+\) Exchange", 0),
+    # blocklist pass is zero-shuffle: broadcast probes only ("(n)
+    # BroadcastExchange" does not match "(n) Exchange")
+    ("blocklist_filter_documents", r"\(\d+\) Exchange", 0),
 ]
 
 

@@ -1,0 +1,124 @@
+"""Web-graph operators — domain blocklist filtering, outlink
+extraction, host in-degree.
+
+The three standard URL-side curation steps that run before (or instead
+of) any content pass in a web-scale pipeline:
+
+* **Domain blocklist** (UT1 / adult-list style): a curated list of a
+  few million domains; a page is dropped when its host *or any parent
+  domain* of it is listed.  Recasts the reference's membership checks
+  (``/root/reference/src/quality_checks.py`` set-intersection style)
+  onto the crawl-frontier axis.
+* **Outlink extraction**: the href graph of the crawl, the input to
+  link-based quality signals.
+* **Host in-degree**: how many distinct documents link to each host —
+  the cheapest link-authority signal (a PageRank iteration-0 prior).
+
+Everything is native Catalyst expressions — ``regexp_extract_all`` /
+``split`` / ``slice`` / broadcast hash joins.  Zero Python, and the
+blocklist pass is **zero-shuffle**: the candidate suffix keys are
+computed as plain columns and each probes the broadcast list with an
+equality join, so a 100-TB crawl streams through map tasks only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def domain_blocklist_mark(df: DataFrame, id_col: str, url_col: str,
+                          blocklist: DataFrame,
+                          max_labels: int = 4) -> DataFrame:
+    """(id, host, matched_rule, blocked) — mark rows whose URL host or
+    any parent-domain suffix appears in ``blocklist`` (single column
+    ``host``, lower-case exact hosts or domain suffixes).
+
+    Matching depth: the exact host plus every trailing-label suffix of
+    2..``max_labels`` labels ("ads.x.example.com" is blocked by any of
+    "ads.x.example.com", "x.example.com", "example.com").  Real-world
+    blocklists (UT1) are registrable domains — 2 or 3 labels — so the
+    default depth covers them; raise ``max_labels`` for deeper lists.
+    ``matched_rule`` reports the longest (most specific) matching
+    entry; rows with no match get ``blocked = false``.
+
+    ``blocklist`` must be unique on ``host`` (UT1-style lists are by
+    construction; ``blocklist.distinct()`` it yourself if unsure) — a
+    duplicated entry would emit one marked row per copy, and
+    deduplicating defensively here would replan a groupBy per probe
+    depth, polluting the otherwise exchange-free plan.
+
+    Scale shape: one candidate-key column per depth, each probing the
+    broadcast blocklist with an equality LEFT join — k BroadcastHashJoins,
+    **no Exchange on the data side**, so the pass is embarrassingly
+    parallel over scan splits.  A blocklist has at most one row per
+    host (callers should dedup), so the left joins never multiply rows.
+    This deliberately avoids the explode-suffixes → semi-join → join-back
+    shape, which would shuffle the full corpus on id twice.
+    """
+    from ..functions.urlnorm import host_of
+    bl = F.broadcast(blocklist.select(F.col("host").alias("_bl_host")))
+    out = df.select(F.col(id_col).alias("id"),
+                    host_of(url_col).alias("host"))
+    parts = F.split(F.col("host"), "\\.")
+    n = F.size(parts)
+    # longest-first so coalesce() below prefers the most specific rule
+    depths = list(range(max_labels, 1, -1))
+    for k in depths:
+        # proper suffixes only — the n == k case is the exact host,
+        # which has its own join below
+        out = out.withColumn(
+            f"_sfx{k}",
+            F.when(n > k, F.concat_ws(".", F.slice(parts, n - k + 1, k))))
+    matched = []
+    for name, key in [("_m_exact", F.col("host"))] + [
+            (f"_m{k}", F.col(f"_sfx{k}")) for k in depths]:
+        b = bl.withColumnRenamed("_bl_host", name)
+        out = out.join(b, key == F.col(name), "left")
+        matched.append(name)
+    return (out.select(
+        "id", "host",
+        F.coalesce(*matched).alias("matched_rule"),
+        F.coalesce(*matched).isNotNull().alias("blocked")))
+
+
+def extract_outlinks(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """(id, url_norm, host) — one row per absolute ``href="..."`` link,
+    canonicalized by ``functions.urlnorm.normalize_url``.  Relative and
+    scheme-less links carry no host and are dropped (this operator
+    feeds the cross-host link graph; same-host navigation is noise for
+    it).
+
+    Scale shape: ``regexp_extract_all`` + ``explode`` is a narrow
+    per-row generate — no shuffle; output size is the link count, and
+    the full html/text column is pruned away before anything wide
+    consumes the result.
+    """
+    from ..functions.urlnorm import host_of, normalize_url
+    links = (df.select(F.col(id_col).alias("id"),
+                       F.explode(F.regexp_extract_all(
+                           F.col(html_col),
+                           F.lit('href="([^"]+)"'), 1)).alias("raw_url"))
+             .select("id", normalize_url("raw_url").alias("url_norm")))
+    return (links.withColumn("host", host_of("url_norm"))
+            .where(F.length("host") > 0))
+
+
+def host_indegree(links: DataFrame, id_col: str = "id",
+                  host_col: str = "host") -> DataFrame:
+    """(host, indegree_docs, n_links) — distinct linking documents and
+    total link count per target host, over an ``extract_outlinks``-shaped
+    frame.  In-degree by *distinct source doc* is the iteration-0
+    link-authority prior (a popular host linked once each from 10^6
+    pages beats one page linking it 10^6 times).
+
+    Scale shape: ``count(distinct id)`` expands to a two-phase
+    aggregate — partial dedup keyed by (host, id) absorbs a page that
+    repeats the same link, then the per-host count shuffles only
+    distinct pairs.  Both phases are map-side-combined; a mega-host
+    (everyone links google.com) contributes one combined row per map
+    partition, not a reducer hot spot.
+    """
+    return (links.groupBy(F.col(host_col).alias("host"))
+            .agg(F.countDistinct(id_col).alias("indegree_docs"),
+                 F.count("*").alias("n_links")))

@@ -25,7 +25,7 @@ from ..functions.hashing import (MERSENNE31, hash60, hash60_sql,
                                  hyperplanes, minhash_coeffs)
 from ..functions.rating import (bucket_rating,
                                 piecewise_rating_lower_better)
-from ..operators import dedup, quality, similarity, textstats
+from ..operators import dedup, quality, similarity, textstats, webgraph
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -1109,6 +1109,139 @@ def host_stats_q(spark, sf_dir):
                  F.lit("/?utm_campaign=c"),
                  F.col("doc_id").cast("string")).alias("url"))
     return dedup.url_host_stats(d, "doc_id", "url")
+
+
+# shared messy-html fixture for the link-graph queries: three hrefs per
+# doc (a tracked absolute link repeated twice, a relative link that
+# carries no host, and a second absolute link with a fragment)
+_LINKS_HTML_SQL = """
+  SELECT doc_id AS id,
+         '<p><a href="HTTPS://WWW.h' || CAST(doc_id % 13 AS VARCHAR) ||
+         '.Example.com/a/' || CAST(doc_id % 5 AS VARCHAR) ||
+         '?utm_source=x">t</a><a href="HTTPS://WWW.h' ||
+         CAST(doc_id % 13 AS VARCHAR) || '.Example.com/a/' ||
+         CAST(doc_id % 5 AS VARCHAR) ||
+         '?utm_source=x">t2</a><a href="/rel/' ||
+         CAST(doc_id AS VARCHAR) || '">r</a><a href="https://partner' ||
+         CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.org/p#sec">u</a></p>' AS html
+  FROM documents"""
+
+
+def _links_html_df(spark, sf_dir):
+    abs1 = F.concat(F.lit('<a href="HTTPS://WWW.h'),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".Example.com/a/"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit('?utm_source=x">'))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("<p>"), abs1, F.lit("t</a>"), abs1, F.lit("t2</a>"),
+                 F.lit('<a href="/rel/'), F.col("doc_id").cast("string"),
+                 F.lit('">r</a><a href="https://partner'),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit('.example.org/p#sec">u</a></p>')).alias("html"))
+
+
+@register("blocklist_filter_documents", """
+WITH bl AS (
+  SELECT unnest(['s1.src3.example.com', 'src7.example.com',
+                 'adnet.org']) AS bhost
+),
+d AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'cdn.t' || CAST(doc_id % 4 AS VARCHAR) || '.adnet.org'
+              ELSE 's' || CAST(doc_id % 3 AS VARCHAR) || '.' || source ||
+                   '.example.com' END AS host
+  FROM documents
+),
+p AS (SELECT id, host, string_split(host, '.') AS parts FROM d)
+SELECT p.id, p.host,
+       coalesce(b0.bhost, b4.bhost, b3.bhost, b2.bhost) AS matched_rule,
+       coalesce(b0.bhost, b4.bhost, b3.bhost, b2.bhost) IS NOT NULL
+         AS blocked
+FROM p
+LEFT JOIN bl b0 ON p.host = b0.bhost
+LEFT JOIN bl b4 ON len(parts) > 4 AND array_to_string(
+  list_slice(parts, len(parts) - 3, len(parts)), '.') = b4.bhost
+LEFT JOIN bl b3 ON len(parts) > 3 AND array_to_string(
+  list_slice(parts, len(parts) - 2, len(parts)), '.') = b3.bhost
+LEFT JOIN bl b2 ON len(parts) > 2 AND array_to_string(
+  list_slice(parts, len(parts) - 1, len(parts)), '.') = b2.bhost
+""")
+def blocklist_filter_q(spark, sf_dir):
+    """UT1-style domain blocklist marking: most docs live on
+    s{0-2}.src*.example.com; every 11th sits on an ad-network domain.
+    The 3-entry blocklist exercises all match depths — an exact
+    4-label host, a 3-label domain (catches every subdomain of src7),
+    and a 2-label domain (catches the whole ad network)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"),
+                 F.when(F.col("doc_id") % 11 == 0,
+                        F.concat(F.lit("cdn.t"),
+                                 (F.col("doc_id") % 4).cast("string"),
+                                 F.lit(".adnet.org")))
+                 .otherwise(F.concat(F.lit("s"),
+                                     (F.col("doc_id") % 3).cast("string"),
+                                     F.lit("."), F.col("source"),
+                                     F.lit(".example.com"))),
+                 F.lit("/p/"), F.col("doc_id").cast("string")).alias("url"))
+    bl = spark.createDataFrame(
+        [("s1.src3.example.com",), ("src7.example.com",), ("adnet.org",)],
+        "host string")
+    return webgraph.domain_blocklist_mark(d, "doc_id", "url", bl)
+
+
+@register("outlinks_documents", f"""
+WITH docs2 AS ({_LINKS_HTML_SQL}
+),
+l AS (
+  SELECT id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+  FROM docs2
+),
+d AS (SELECT id, url FROM l),{_URLNORM_CHAIN_SQL},
+f AS (
+  SELECT id, u AS url_norm,
+         lower(regexp_extract(u,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM n7
+)
+SELECT id, url_norm, host FROM f WHERE length(host) > 0
+""")
+def outlinks_q(spark, sf_dir):
+    """Outlink extraction over the derived messy-html fixture: the
+    repeated tracked link collapses to one canonical URL (twice), the
+    relative link is dropped (no host), the fragment link survives."""
+    return webgraph.extract_outlinks(_links_html_df(spark, sf_dir),
+                                     "doc_id", "html")
+
+
+@register("host_indegree_documents", f"""
+WITH docs2 AS ({_LINKS_HTML_SQL}
+),
+l AS (
+  SELECT id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+  FROM docs2
+),
+d AS (SELECT id, url FROM l),{_URLNORM_CHAIN_SQL},
+f AS (
+  SELECT id, u AS url_norm,
+         lower(regexp_extract(u,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM n7
+)
+SELECT host, count(DISTINCT id) AS indegree_docs, count(*) AS n_links
+FROM f WHERE length(host) > 0 GROUP BY 1
+""")
+def host_indegree_q(spark, sf_dir):
+    """Host in-degree over the same link fixture: h{0-12} hosts collect
+    two links per linking doc (the repeated tracked link), partner{0-6}
+    hosts one — so n_links > indegree_docs exactly on the h hosts."""
+    return webgraph.host_indegree(
+        webgraph.extract_outlinks(_links_html_df(spark, sf_dir),
+                                  "doc_id", "html"))
 
 
 @register("decontaminate_documents", f"""

@@ -787,6 +787,52 @@ def test_url_host_stats_hand_computed(spark):
     assert list(out.dup_frac) == [0.333333, 0.0]
 
 
+def test_domain_blocklist_mark_depths(spark):
+    """All match depths: exact 4-label host, 3-label and 2-label parent
+    suffixes; longest match wins; unlisted hosts pass; a 2-label host
+    can only match exactly."""
+    from standard_data_quality_framework_spark.operators.webgraph import (
+        domain_blocklist_mark)
+    rows = [(1, "https://ads.x.Example.com/a"),       # 2-label suffix
+            (2, "https://s.news.example.com/b"),      # 3-label suffix
+            (3, "https://a.b.c.com/x"),               # exact beats c.com
+            (4, "https://clean.other.org/y"),         # no match
+            (5, "https://c.com/z"),                   # exact 2-label
+            (6, None)]                                # null url passes
+    bl = spark.createDataFrame(
+        [("example.com",), ("news.example.com",), ("a.b.c.com",),
+         ("c.com",)], "host string")
+    out = (domain_blocklist_mark(
+        spark.createDataFrame(rows, "doc_id long, url string"),
+        "doc_id", "url", bl).toPandas().set_index("id").sort_index())
+    assert list(out.blocked) == [True, True, True, False, True, False]
+    assert list(out.matched_rule)[:3] == [
+        "example.com", "news.example.com", "a.b.c.com"]
+    assert out.matched_rule[4] is None and out.matched_rule[5] == "c.com"
+
+
+def test_extract_outlinks_and_host_indegree(spark):
+    """Repeated tracked link canonicalizes to one URL twice, relative
+    link drops (no host), indegree counts distinct docs vs raw links."""
+    from standard_data_quality_framework_spark.operators.webgraph import (
+        extract_outlinks, host_indegree)
+    html1 = ('<a href="HTTPS://WWW.Hub.com/a?utm_source=x">1</a>'
+             '<a href="https://hub.com/a">2</a>'
+             '<a href="/rel/only">3</a>')
+    html2 = '<a href="https://hub.com/other#f">4</a>'
+    df = spark.createDataFrame([(1, html1), (2, html2)],
+                               "doc_id long, html string")
+    links = extract_outlinks(df, "doc_id", "html").toPandas()
+    assert len(links) == 3  # relative link dropped
+    assert set(links.host) == {"hub.com"}
+    assert sorted(links[links.id == 1].url_norm) == [
+        "https://hub.com/a", "https://hub.com/a"]
+    deg = host_indegree(
+        extract_outlinks(df, "doc_id", "html")).toPandas()
+    assert deg.to_dict("records") == [
+        {"host": "hub.com", "indegree_docs": 2, "n_links": 3}]
+
+
 def test_line_dedup_first_occurrence_and_reassembly(spark):
     """C4-style line dedup: a long line shared by three docs survives
     only at its first (id, pos); short lines are exempt; line order is
