@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "host_stats_documents",
     "blocklist_filter_documents",
     "host_indegree_documents",
+    "host_pagerank_documents",
+    "vocab_stats_documents",
 ]
 
 

@@ -80,6 +80,13 @@ AUDIT = [
     # host in-degree: two-phase distinct aggregate, map-side combined
     ("host_indegree_documents",
      [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # pagerank iterations: partial-aggregated contribution sums
+    ("host_pagerank_documents",
+     [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # vocab top-N must plan as TakeOrdered, never a global Sort
+    ("vocab_stats_documents",
+     ["TakeOrderedAndProject",
+      r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -94,6 +101,10 @@ FORBID_EXTRA = [
     ("blocklist_filter_documents",
      ["ShuffledHashJoin", "SortMergeJoin", "CartesianProduct",
       "BroadcastNestedLoopJoin"]),
+    # (the 1-row node-count broadcast cross join IS a BNLJ — harmless,
+    # so only true cartesian products are forbidden here)
+    ("host_pagerank_documents", ["CartesianProduct"]),
+    ("vocab_stats_documents", ["CartesianProduct", r"\(\d+\) Sort"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the

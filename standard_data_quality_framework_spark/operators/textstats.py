@@ -244,3 +244,28 @@ def decontaminate(train: DataFrame, evals: DataFrame, id_col: str,
                        F.round(overlap / F.size("grams"), 6))
                 .otherwise(F.lit(0.0)).alias("contaminated_frac"),
                 (overlap > 0).alias("contaminated")))
+
+
+def vocab_stats(df: DataFrame, id_col: str, text_col: str,
+                top_n: int = 100) -> DataFrame:
+    """(token, tf, df) — corpus vocabulary statistics: total term
+    frequency and document frequency for the ``top_n`` most frequent
+    whitespace tokens.  The first step of tokenizer training / corpus
+    profiling (Zipf-curve inspection, stop-list derivation, df-cap
+    tuning for the shingle dedups).
+
+    Scale shape: explode + groupBy(token) — the mega-token skew ("the"
+    appears in every doc) is absorbed by map-side partial aggregation
+    (count and the (token, id)-keyed partial distinct both combine
+    before the shuffle), and the final top-N plans as
+    TakeOrderedAndProject, never a full sort of the vocabulary.
+    Tie-break (tf desc, token asc) makes the cut deterministic.
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        "\\s+")).alias("token"))
+            .where(F.length("token") > 0))
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("id").alias("df"))
+    return agg.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)

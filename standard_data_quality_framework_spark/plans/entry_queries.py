@@ -1244,6 +1244,87 @@ def host_indegree_q(spark, sf_dir):
                                   "doc_id", "html"))
 
 
+@register("host_pagerank_documents", f"""
+WITH docs2 AS ({_LINKS_HTML_SQL}
+),
+l AS (
+  SELECT id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+  FROM docs2
+),
+d AS (SELECT id, url FROM l),{_URLNORM_CHAIN_SQL},
+f AS (
+  SELECT id, u AS url_norm,
+         lower(regexp_extract(u,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM n7
+),
+e AS (
+  SELECT DISTINCT 'h' || CAST(id % 13 AS VARCHAR) || '.example.com' AS src,
+                  host AS dst
+  FROM f WHERE length(host) > 0
+),
+nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS c FROM nodes),
+outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT h, CAST(1.0 AS DOUBLE) / nn.c AS r FROM nodes CROSS JOIN nn),
+m1 AS (
+  SELECT e.dst AS h, sum(r0.r / outd.od) AS m
+  FROM e JOIN r0 ON e.src = r0.h JOIN outd ON e.src = outd.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nodes.h,
+         CAST(0.15 AS DOUBLE) / nn.c +
+         CAST(0.85 AS DOUBLE) * coalesce(m1.m, 0) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN m1 ON nodes.h = m1.h
+),
+m2 AS (
+  SELECT e.dst AS h, sum(r1.r / outd.od) AS m
+  FROM e JOIN r1 ON e.src = r1.h JOIN outd ON e.src = outd.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes.h,
+         CAST(0.15 AS DOUBLE) / nn.c +
+         CAST(0.85 AS DOUBLE) * coalesce(m2.m, 0) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN m2 ON nodes.h = m2.h
+)
+SELECT h AS host, round(r, 6) AS pagerank FROM r2
+""")
+def host_pagerank_q(spark, sf_dir):
+    """Two-iteration PageRank over the derived host link graph: each
+    doc's own host h{id%13} links to itself and to partner{id%7} —
+    a 20-node graph with self-loops, dangling partner nodes (teleport
+    floor only) and real authority spread; the oracle unrolls both
+    power iterations as CTEs."""
+    links = webgraph.extract_outlinks(_links_html_df(spark, sf_dir),
+                                      "doc_id", "html")
+    edges = (links.select(
+        F.concat(F.lit("h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".example.com")).alias("src"),
+        F.col("host").alias("dst")).distinct())
+    return webgraph.host_pagerank(edges, iters=2)
+
+
+@register("vocab_stats_documents", """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+a AS (
+  SELECT token, count(*) AS tf, count(DISTINCT id) AS df
+  FROM toks WHERE length(token) > 0 GROUP BY token
+)
+SELECT token, tf, df FROM a ORDER BY tf DESC, token LIMIT 100
+""")
+def vocab_stats_q(spark, sf_dir):
+    """Top-100 corpus vocabulary by term frequency with document
+    frequency — tokenizer-training / Zipf-profiling input."""
+    return textstats.vocab_stats(_t(spark, sf_dir, "documents"),
+                                 "doc_id", "text", top_n=100)
+
+
 @register("decontaminate_documents", f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

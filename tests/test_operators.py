@@ -833,6 +833,32 @@ def test_extract_outlinks_and_host_indegree(spark):
         {"host": "hub.com", "indegree_docs": 2, "n_links": 3}]
 
 
+def test_host_pagerank_hand_computed(spark):
+    """A<->B with A->C (dangling C): two power iterations, teleport
+    floor 0.15/3, worked by hand to 6 decimals."""
+    from standard_data_quality_framework_spark.operators.webgraph import (
+        host_pagerank)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string")
+    out = (host_pagerank(e, iters=2).toPandas()
+           .set_index("host").sort_index())
+    assert list(out.index) == ["a", "b", "c"]
+    assert list(out.pagerank) == [0.212917, 0.191667, 0.191667]
+
+
+def test_vocab_stats_counts_and_tiebreak(spark):
+    from standard_data_quality_framework_spark.operators.textstats import (
+        vocab_stats)
+    df = spark.createDataFrame(
+        [(1, "The the THE cat"), (2, "cat  dog"), (3, "ant")],
+        "doc_id long, text string")
+    out = vocab_stats(df, "doc_id", "text", top_n=3).toPandas()
+    assert out.to_dict("records") == [
+        {"token": "the", "tf": 3, "df": 1},
+        {"token": "cat", "tf": 2, "df": 2},
+        {"token": "ant", "tf": 1, "df": 1}]  # tf-tie broken by token asc
+
+
 def test_line_dedup_first_occurrence_and_reassembly(spark):
     """C4-style line dedup: a long line shared by three docs survives
     only at its first (id, pos); short lines are exempt; line order is
