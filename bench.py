@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "host_indegree_documents",
     "host_pagerank_documents",
     "vocab_stats_documents",
+    "host_concentration_documents",
 ]
 
 

@@ -87,6 +87,11 @@ AUDIT = [
     ("vocab_stats_documents",
      ["TakeOrderedAndProject",
       r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # host concentration: top-k branch is a per-partition heap, and
+    # host counts are map-side partially aggregated
+    ("host_concentration_documents",
+     ["TakeOrderedAndProject",
+      r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -105,6 +110,8 @@ FORBID_EXTRA = [
     # so only true cartesian products are forbidden here)
     ("host_pagerank_documents", ["CartesianProduct"]),
     ("vocab_stats_documents", ["CartesianProduct", r"\(\d+\) Sort"]),
+    ("host_concentration_documents", ["CartesianProduct",
+                                      r"\(\d+\) Sort"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the

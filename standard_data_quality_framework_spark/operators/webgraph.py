@@ -167,3 +167,47 @@ def host_pagerank(edges: DataFrame, src_col: str = "src",
                          .alias("r")))
     return ranks.select(F.col("h").alias("host"),
                         F.round("r", 6).alias("pagerank"))
+
+
+def host_concentration(df: DataFrame, url_col: str = "url",
+                       top_n: int = 10) -> DataFrame:
+    """One-row corpus diversity report over hosts: how concentrated is
+    the crawl?  Columns: ``n_docs``, ``n_hosts``, ``hhi``
+    (Herfindahl-Hirschman index over host doc shares, 1/n_hosts =
+    perfectly even, 1.0 = one host owns everything),
+    ``effective_hosts`` (1/hhi — the "as if this many equal hosts"
+    number reported in corpus cards), ``top{N}_share`` (fraction of
+    docs from the ``top_n`` biggest hosts).  RefinedWeb/CCNet-style
+    corpus-health gauge: a rising HHI between snapshots means the
+    frontier is collapsing onto a few mega-hosts and per-domain quotas
+    (`sampling.domain_quota_sample`) should tighten.
+
+    Hosts come from ``host_of(url_col)`` verbatim — pass
+    ``normalize_url``-ed URLs if www-aliases must merge first.
+
+    Scale shape: groupBy(host) count with map-side partial aggregation
+    (mega-hosts combine per input partition), then TWO single-row
+    reductions — a global algebraic agg and a top-``top_n`` branch
+    that plans as TakeOrderedAndProject (heap of ``top_n`` per
+    partition, never a global sort) — stitched with a broadcast of the
+    1-row frames.  cnt² is summed in doubles: exact below 2^53 (any
+    test scale) and the index is insensitive to ulp error above it.
+    """
+    from ..functions.urlnorm import host_of
+    hc = (df.select(host_of(F.col(url_col)).alias("host"))
+          .where(F.length("host") > 0)
+          .groupBy("host").agg(F.count("*").alias("cnt")))
+    tot = hc.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_hosts"),
+        F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("_sq"))
+    topk = (hc.orderBy(F.desc("cnt"), F.asc("host")).limit(top_n)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_top")))
+    dd = F.col("n_docs").cast("double")
+    return (tot.crossJoin(F.broadcast(topk))
+            .select("n_docs", "n_hosts",
+                    F.round(F.col("_sq") / (dd * dd), 6).alias("hhi"),
+                    F.round(dd * dd / F.col("_sq"), 3)
+                    .alias("effective_hosts"),
+                    F.round(F.col("_top") / dd, 6)
+                    .alias(f"top{top_n}_share")))

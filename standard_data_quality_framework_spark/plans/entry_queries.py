@@ -1325,6 +1325,54 @@ def vocab_stats_q(spark, sf_dir):
                                  "doc_id", "text", top_n=100)
 
 
+@register("host_concentration_documents", """
+WITH d AS (
+  SELECT 'HTTPS://WWW.s' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+         upper(source) || '.Example.com/Docs/' ||
+         CAST(doc_id % 40 AS VARCHAR) ||
+         '/?utm_campaign=c' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+h AS (
+  SELECT lower(regexp_extract(trim(url),
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM d
+),
+hc AS (
+  SELECT host, count(*) AS cnt FROM h
+  WHERE length(host) > 0 GROUP BY host
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+         count(*) AS n_hosts,
+         sum(CAST(cnt AS DOUBLE) * cnt) AS sq
+  FROM hc
+),
+tk AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tp
+  FROM (SELECT cnt FROM hc ORDER BY cnt DESC, host LIMIT 10)
+)
+SELECT n_docs, n_hosts,
+       round(sq / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS hhi,
+       round(CAST(n_docs AS DOUBLE) * n_docs / sq, 3) AS effective_hosts,
+       round(tp * 1.0 / n_docs, 6) AS top10_share
+FROM tot CROSS JOIN tk
+""")
+def host_concentration_q(spark, sf_dir):
+    """Corpus host-diversity report (HHI, effective hosts, top-10
+    share) over the same derived messy-URL fixture as
+    ``host_stats_documents`` — the snapshot-over-snapshot crawl-health
+    gauge that decides when per-domain quotas tighten."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("HTTPS://WWW.s"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("."),
+                 F.upper("source"), F.lit(".Example.com/Docs/"),
+                 (F.col("doc_id") % 40).cast("string"),
+                 F.lit("/?utm_campaign=c"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return webgraph.host_concentration(d, "url", top_n=10)
+
+
 @register("decontaminate_documents", f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -879,3 +879,18 @@ def test_line_dedup_first_occurrence_and_reassembly(spark):
     assert out.loc[1, "text_dedup"] == "another unique line for document one"
     assert out.loc[2, "text_dedup"] == ""
     assert out.loc[3, "text_dedup"] == "ok\n\nok"
+
+
+def test_host_concentration_hand_computed(spark):
+    """a.com x3, b.com x2, c.com x1: hhi = 14/36, effective = 36/14,
+    top-2 share = 5/6 — worked by hand."""
+    from standard_data_quality_framework_spark.operators.webgraph import (
+        host_concentration)
+    rows = ([("http://a.com/%d" % i,) for i in range(3)]
+            + [("http://b.com/%d" % i,) for i in range(2)]
+            + [("http://c.com/0",), ("not a url",)])
+    df = spark.createDataFrame(rows, "url string")
+    out = host_concentration(df, "url", top_n=2).toPandas()
+    assert out.to_dict("records") == [
+        {"n_docs": 6, "n_hosts": 3, "hhi": 0.388889,
+         "effective_hosts": 2.571, "top2_share": 0.833333}]
