@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "host_pagerank_documents",
     "vocab_stats_documents",
     "host_concentration_documents",
+    "robots_filter_documents",
+    "politeness_schedule_documents",
+    "revisit_policy_events",
+    "size_balanced_shards_documents",
+    "calibration_report_documents",
 ]
 
 

@@ -92,6 +92,22 @@ AUDIT = [
     ("host_concentration_documents",
      ["TakeOrderedAndProject",
       r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # robots marking: pages probe the per-host rules array via ONE
+    # broadcast hash join (the parse subplan's windows run on the tiny
+    # robots frame, never the corpus)
+    ("robots_filter_documents", ["BroadcastHashJoin"]),
+    # politeness: bounded (host, slice) windows + partial-agg'd counts
+    ("politeness_schedule_documents",
+     ["Window", r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # sharding: bounded per-slice windows, offsets stitched via
+    # broadcast — the data side must never shuffle-join
+    ("size_balanced_shards_documents", ["Window", "BroadcastHashJoin"]),
+    # revisit: per-url change window + map-side-combined url agg
+    ("revisit_policy_events",
+     ["Window", r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # calibration: ≤ n_bins reducer keys, ECE stitched via broadcast
+    ("calibration_report_documents",
+     [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -112,6 +128,13 @@ FORBID_EXTRA = [
     ("vocab_stats_documents", ["CartesianProduct", r"\(\d+\) Sort"]),
     ("host_concentration_documents", ["CartesianProduct",
                                       r"\(\d+\) Sort"]),
+    ("robots_filter_documents", ["CartesianProduct"]),
+    ("politeness_schedule_documents", ["CartesianProduct",
+                                       "BroadcastNestedLoopJoin"]),
+    ("size_balanced_shards_documents",
+     ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
+    # revisit is pure window + aggregate — no join of any kind
+    ("revisit_policy_events", ["CartesianProduct", "Join"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the

@@ -1,0 +1,259 @@
+"""Crawl-planning operators — robots.txt rules, per-host politeness
+scheduling, cross-snapshot revisit policy.
+
+The scheduling side of a web-scale corpus pipeline: which URLs MAY be
+fetched (robots.txt), WHEN each host's backlog gets fetched without
+hammering the origin (politeness cycles), and how often a known URL is
+worth re-fetching (change-rate-driven revisit intervals).  Recasts the
+reference's rule-membership checks (``/root/reference/src/
+quality_checks.py`` validity-range / set-membership style) onto the
+crawl-frontier axis, the same way ``webgraph.domain_blocklist_mark``
+recasts them for blocklists.
+
+Scale shapes, per operator:
+
+* ``parse_robots`` — per-host windows bounded by the robots.txt LINE
+  COUNT (a robots file is one small fetch per host; the group-tracking
+  window partition can never exceed it).
+* ``robots_mark`` — the rules table collapses to one array per host,
+  broadcast; every page probes it with ONE BroadcastHashJoin and a
+  row-local longest-match fold.  Zero data-side shuffle, same shape as
+  the blocklist pass.
+* ``politeness_schedule`` — exact per-host sequencing WITHOUT a
+  per-host global sort: a segmented prefix scan over contiguous
+  hash-bucket slices (the ``asof_join_sliced`` trick), so a mega-host's
+  window partitions are ~1/``n_slices`` of the host, a knob, not the
+  data.
+* ``revisit_policy`` — per-URL windows bounded by the number of crawl
+  SNAPSHOTS a URL appears in (calendar-bounded), then one map-side-
+  combined aggregation on the uniform url key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _BUCKETS, _bucket
+
+
+def path_of(url) -> F.Column:
+    """Path component of an absolute URL ('' → '/'), the robots
+    matching subject (query strings are not matched — plain-prefix
+    rules only)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    p = F.regexp_extract(
+        u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#?]*)?", 1)
+    return F.when(F.length(p) > 0, p).otherwise(F.lit("/"))
+
+
+def parse_robots(df: DataFrame, host_col: str,
+                 robots_col: str) -> DataFrame:
+    """(host, agent, is_allow, prefix) — parsed Allow/Disallow rules
+    from raw robots.txt text, one row per (user-agent, rule) pair.
+
+    Grammar subset (the part every real crawler honors): ``#`` comments
+    stripped; a run of consecutive ``User-agent:`` lines opens a
+    group; following ``Allow:`` / ``Disallow:`` lines bind to EVERY
+    agent of that group; empty-value rules are dropped (per the spec,
+    ``Disallow:`` with no value permits everything); rules before any
+    ``User-agent:`` line are invalid and ignored.  ``*`` / ``$``
+    wildcards are NOT expanded — prefixes are matched verbatim by
+    ``robots_mark`` (wildcard rules are rare and a conservative
+    crawler may treat them as literal).
+
+    Scale shape: split+posexplode is narrow; the group-tracking window
+    partitions on host and is bounded by the robots.txt line count
+    (one small file per host, never corpus-scale); the agent×rule
+    bind is an equi-join of two sub-frames of that same small parse.
+    """
+    lines = (df.select(F.col(host_col).alias("host"),
+                       F.posexplode(F.split(F.col(robots_col), "\n"))
+                       .alias("pos", "line"))
+             .select("host", "pos",
+                     F.trim(F.regexp_replace(
+                         F.regexp_replace("line", "\r", ""),
+                         "#.*", "")).alias("line"))
+             .where(F.length("line") > 0))
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+        .alias("directive"),
+        F.trim(F.regexp_extract("line", r":\s*(.*)$", 1)).alias("value"))
+    w = (Window.partitionBy("host").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    is_ua = F.col("directive") == "user-agent"
+    prev_ua = F.lag("directive").over(
+        Window.partitionBy("host").orderBy("pos")) == "user-agent"
+    grouped = parsed.select(
+        "host", "directive", "value",
+        F.sum(F.when(is_ua & ~F.coalesce(prev_ua, F.lit(False)), 1)
+              .otherwise(0)).over(w).alias("grp"))
+    agents = (grouped.where(F.col("directive") == "user-agent")
+              .select("host", "grp", F.lower("value").alias("agent")))
+    rules = (grouped.where(F.col("directive").isin("allow", "disallow")
+                           & (F.length("value") > 0))
+             .select("host", "grp",
+                     (F.col("directive") == "allow").alias("is_allow"),
+                     F.col("value").alias("prefix")))
+    return (agents.join(rules, ["host", "grp"])
+            .select("host", "agent", "is_allow", "prefix"))
+
+
+def robots_mark(pages: DataFrame, id_col: str, url_col: str,
+                rules: DataFrame) -> DataFrame:
+    """(id, host, path, matched_rule, allowed) — mark every page with
+    its robots verdict under longest-match-wins semantics (Google's
+    published precedence: the most specific — longest — matching
+    prefix decides; at equal length ``Allow`` beats ``Disallow``; no
+    matching rule means allowed).
+
+    ``rules`` is a ``parse_robots``-shaped frame already filtered to
+    the crawler's agent — (host, is_allow, prefix); filter to
+    ``agent = '*'`` plus your bot name, most-specific-agent first, as
+    real crawlers do.  Ties at equal length and equal polarity break
+    on the lexically smallest prefix so both engines report the same
+    ``matched_rule``.
+
+    Scale shape: the rules frame collapses to ONE array per host
+    (robots files are tiny, so the array is too) and ships as a
+    broadcast; every page then does a single BroadcastHashJoin probe
+    plus a row-local ``aggregate`` fold over its host's rules — zero
+    data-side Exchange, embarrassingly parallel over scan splits.  The
+    fold is one flat pass (no nested higher-order expressions — see
+    the CodegenFallback no-CSE trap documented in
+    ``textstats.winnowing_fingerprints``).
+    """
+    per_host = F.broadcast(
+        rules.groupBy("host")
+        .agg(F.collect_list(F.struct("is_allow", "prefix"))
+             .alias("_rules")))
+    p = pages.select(F.col(id_col).alias("id"),
+                     F.col(url_col).alias("_url"))
+    from ..functions.urlnorm import host_of
+    p = p.select("id", host_of("_url").alias("host"),
+                 path_of("_url").alias("path"))
+    zero = F.struct(F.lit(-1).alias("len"),
+                    F.lit(True).alias("allow"),
+                    F.lit(None).cast("string").alias("rule"))
+
+    def _merge(acc, r):
+        rlen = F.length(r["prefix"])
+        better = (
+            (rlen > acc["len"])
+            | ((rlen == acc["len"]) & r["is_allow"] & ~acc["allow"])
+            | ((rlen == acc["len"]) & (r["is_allow"] == acc["allow"])
+               & (r["prefix"] < acc["rule"])))
+        take = F.col("path").startswith(r["prefix"]) & better
+        return F.when(take, F.struct(rlen.alias("len"),
+                                     r["is_allow"].alias("allow"),
+                                     r["prefix"].alias("rule"))) \
+                .otherwise(acc)
+
+    joined = p.join(per_host, "host", "left")
+    best = F.aggregate(
+        F.coalesce(F.col("_rules"),
+                   F.array().cast("array<struct<is_allow:boolean,"
+                                  "prefix:string>>")),
+        zero, _merge)
+    return joined.select(
+        "id", "host", "path",
+        best["rule"].alias("matched_rule"),
+        best["allow"].alias("allowed"))
+
+
+def politeness_schedule(df: DataFrame, host_col: str, url_col: str,
+                        per_cycle: int, n_slices: int = 32,
+                        salt: str = "crawl") -> DataFrame:
+    """Assign every frontier URL a deterministic per-host fetch rank
+    and a politeness ``cycle`` (crawl round) holding at most
+    ``per_cycle`` URLs of that host — the frontier-scheduling step
+    that keeps a 10^8-URL mega-host from being hammered in one round
+    while small hosts finish in their first.
+
+    Ordering within a host is by (salted url-hash bucket, url): a pure
+    function of the URL set, so the schedule is reproducible across
+    runs, partitionings and engines, and statistically shuffles each
+    host's URLs across its path space (no accidental
+    deep-directory-first crawling).
+
+    Scale shape — exact ranks WITHOUT a per-host global sort: the
+    bucket space splits into ``n_slices`` CONTIGUOUS ranges, so slice
+    order is a prefix of the total order (the ``asof_join_sliced``
+    segmented-prefix-scan trick): (1) row_number within (host, slice)
+    — partitions are ~host/``n_slices``, a knob, not the data; (2)
+    per-(host, slice) counts — one partial-agg'd frame of
+    |hosts|·|slices| rows — prefix-summed by a window whose
+    partitions hold ≤ ``n_slices`` rows; (3) rank = slice offset +
+    within-slice rank.  Returns the input plus (rank_in_host, cycle).
+    """
+    width = -(-_BUCKETS // n_slices)  # ceil
+    b = _bucket(F.col(url_col), salt)
+    df = (df.withColumn("_b", b)
+          .withColumn("_slice", F.floor(F.col("_b") / width)))
+    w_in = Window.partitionBy(host_col, "_slice").orderBy("_b", url_col)
+    ranked = df.withColumn("_rk", F.row_number().over(w_in))
+    counts = df.groupBy(host_col, "_slice").agg(F.count("*").alias("_n"))
+    w_off = (Window.partitionBy(host_col).orderBy("_slice")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(host_col, "_slice",
+                         F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+                         .alias("_off"))
+    out = (ranked.join(offs, [host_col, "_slice"])
+           .withColumn("rank_in_host", F.col("_off") + F.col("_rk"))
+           .withColumn("cycle",
+                       F.floor((F.col("rank_in_host") - 1)
+                               / F.lit(per_cycle)).cast("long")))
+    return out.drop("_b", "_slice", "_rk", "_off")
+
+
+def revisit_policy(history: DataFrame, url_col: str, ts_col: str,
+                   hash_col: str, id_col: str,
+                   min_days: float = 1.0,
+                   max_days: float = 60.0) -> DataFrame:
+    """(url, n_fetches, n_changes, span_days, interval_days,
+    next_fetch_epoch) — change-rate-driven revisit intervals from a
+    multi-snapshot fetch history, the freshness policy of an
+    incremental crawler: pages that changed on every visit are
+    re-fetched at ``min_days``, pages that never changed decay to
+    ``max_days``, in between the interval is the OBSERVED mean days
+    between content changes (span_days / n_changes), clamped.
+
+    A fetch counts as a change when its ``hash_col`` differs from the
+    previous fetch of the same URL (first fetch is not a change);
+    fetch order is (ts, id) so equal-timestamp fetches rank
+    deterministically in both engines.
+
+    Scale shape: the change-detection window partitions per URL and is
+    bounded by the snapshot count a URL appears in (calendar-bounded,
+    like ``runner.run_global_dedup``'s day loop), then one
+    map-side-combined groupBy on the uniform url key.  Doubles are
+    rounded to 6 decimals; the next-fetch time is integer epoch
+    seconds — both engine-stable.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(hash_col)).over(w)
+    h = history.withColumn(
+        "_chg",
+        (prev.isNotNull() & (prev != F.col(hash_col))).cast("int"))
+    # unix_timestamp truncates to whole seconds and accepts both
+    # TIMESTAMP and TIMESTAMP_NTZ (a plain cast-to-long rejects NTZ);
+    # session TZ is pinned UTC, oracle mirror: floor(epoch(ts))
+    epoch = F.unix_timestamp(F.col(ts_col))
+    agg = (h.groupBy(F.col(url_col).alias("url"))
+           .agg(F.count("*").alias("n_fetches"),
+                F.sum("_chg").alias("n_changes"),
+                F.min(epoch).alias("_e0"),
+                F.max(epoch).alias("_e1")))
+    span = (F.col("_e1") - F.col("_e0")) / F.lit(86400.0)
+    interval = F.when(F.col("n_changes") == 0, F.lit(float(max_days))) \
+        .otherwise(F.least(F.lit(float(max_days)),
+                           F.greatest(F.lit(float(min_days)),
+                                      span / F.col("n_changes"))))
+    return agg.select(
+        "url", "n_fetches", "n_changes",
+        F.round(span, 6).alias("span_days"),
+        F.round(interval, 6).alias("interval_days"),
+        (F.col("_e1")
+         + F.floor(interval * 86400 + F.lit(0.5)).cast("long"))
+        .alias("next_fetch_epoch"))

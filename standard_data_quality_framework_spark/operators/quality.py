@@ -342,3 +342,59 @@ def expected_columns_presence(df: DataFrame,
         F.lit(len(expected)).alias("n_expected"),
         F.lit(len(present)).alias("n_present"),
         F.lit(",".join(missing)).alias("missing_cols"))
+
+
+def calibration_curve(df: DataFrame, score_col: str, label_col: str,
+                      n_bins: int = 10) -> DataFrame:
+    """Reliability diagram for a quality classifier: bin predicted
+    scores into ``n_bins`` equal-width bins over [0, 1] and compare
+    mean predicted score (confidence) with the observed positive rate
+    (accuracy) per bin — the standard check before a model score is
+    trusted to gate keep/drop decisions (a miscalibrated filter
+    silently shifts the corpus mix when the threshold moves).
+
+    Extends the reference's accuracy/validity ratio family
+    (quality_checks.py:45-76 — observed-vs-expected per rule) to the
+    model-score axis.  Output: one row per non-empty bin — (bin,
+    bin_lo, n, mean_score, frac_pos, abs_gap), all doubles rounded to
+    6 decimals.
+
+    Scale shape: one projection + one groupBy on ≤ ``n_bins`` keys —
+    fully map-side-combined, no skew (every reducer key holds one
+    small aggregate), nothing driver-side.
+    """
+    s = F.col(score_col).cast("double")
+    bin_ = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("long")
+    lab = F.col(label_col).cast("int")
+    return (df.select(bin_.alias("bin"), s.alias("_s"), lab.alias("_y"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("_s"), 6).alias("mean_score"),
+                 F.round(F.avg("_y"), 6).alias("frac_pos"))
+            .select("bin",
+                    F.round(F.col("bin") / n_bins, 6).alias("bin_lo"),
+                    "n", "mean_score", "frac_pos",
+                    F.round(F.abs(F.col("mean_score")
+                                  - F.col("frac_pos")), 6)
+                    .alias("abs_gap")))
+
+
+def calibration_report(df: DataFrame, score_col: str, label_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """``calibration_curve`` plus the corpus-level expected
+    calibration error stitched onto every bin row: ``ece`` =
+    Σ_b (n_b / N) · |frac_pos_b − mean_score_b| — the single number
+    corpus cards quote.  Computed from the per-bin ROUNDED values so
+    the figure is engine-stable, attached by broadcasting the 1-row
+    total (the ``host_concentration`` stitch shape — no second scan
+    of the data: the curve frame is ≤ ``n_bins`` rows).
+    """
+    curve = calibration_curve(df, score_col, label_col, n_bins)
+    # integer micro-units: Σ n_b·gap_µ is an exact long in both
+    # engines (a float Σ n·gap could straddle a round(…,6) boundary
+    # by an ulp depending on summation order)
+    gap_micro = F.round(F.col("abs_gap") * 1e6).cast("long")
+    ece = curve.agg(
+        F.round(F.sum(F.col("n") * gap_micro)
+                / (F.sum("n") * F.lit(1e6)), 6).alias("ece"))
+    return curve.crossJoin(F.broadcast(ece))

@@ -1,0 +1,90 @@
+"""Size-balanced output sharding — the writer-side step of a curation
+pipeline.
+
+A 100-TB training corpus is consumed as a directory of shard files
+whose SIZES must be even (data-loader workers stream one shard each;
+a 10× outlier shard straggles the whole epoch).  Spark's knobs don't
+give this directly: ``repartition(n)`` balances ROW COUNTS (a shard of
+long documents comes out huge), ``maxRecordsPerFile`` caps records not
+bytes, and ``repartitionByRange`` on a size column would SORT BY SIZE
+(all the big docs land together — the opposite of balance).
+
+``size_balanced_shards`` assigns every row a shard id such that each
+shard holds ~``target_bytes`` of payload, rows ordered by a salted
+hash of the id (so every shard is an unbiased corpus sample — the
+property loaders want), computed with a SEGMENTED PREFIX SCAN instead
+of a global sort: exact cumulative sums, no single-partition window.
+
+Write path: ``df.repartition(n_shards, "shard")`` (hash on the shard
+id co-locates each shard in one task) then
+``.write.partitionBy("shard")`` — or pass ``shard`` straight to an
+Iceberg bucket transform.  The assignment operator is the testable
+part; the write is stock Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _BUCKETS, _bucket
+
+
+def size_balanced_shards(df: DataFrame, id_col: str, bytes_col: str,
+                         target_bytes: int, n_slices: int = 64,
+                         salt: str = "shard") -> DataFrame:
+    """Input plus a ``shard`` column: contiguous ~``target_bytes``
+    runs over the (salted id-hash bucket, id) ordering.
+
+    shard(row) = floor(cum_bytes_before(row) / target_bytes) — exact
+    integer math (no float drift at any scale), every shard's payload
+    in [target − max_doc, target + max_doc) bytes, shard ids dense
+    from 0.
+
+    Scale shape — an exact global running sum with NO global sort
+    (the classic two-phase scan, same trick as
+    ``crawlplan.politeness_schedule``): the hash-bucket space splits
+    into ``n_slices`` CONTIGUOUS ranges, so slice order is a prefix of
+    the total order; (1) within-slice running sums — window partitions
+    are ~corpus/``n_slices``, a knob; (2) per-slice totals — one
+    partial-agg'd ``n_slices``-row frame — prefix-summed in a single
+    trivially small window; (3) before = slice offset + within-slice
+    running sum − own bytes.  Two bounded shuffles; the bytes column
+    is a long throughout, so sums are order-independent and
+    oracle-exact.
+    """
+    width = -(-_BUCKETS // n_slices)  # ceil
+    b = _bucket(F.col(id_col), salt)
+    d = (df.withColumn("_b", b)
+         .withColumn("_slice", F.floor(F.col("_b") / width)))
+    w_in = (Window.partitionBy("_slice").orderBy("_b", id_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    run = d.withColumn(
+        "_run", F.sum(F.col(bytes_col).cast("long")).over(w_in))
+    totals = d.groupBy("_slice").agg(
+        F.sum(F.col(bytes_col).cast("long")).alias("_tot"))
+    w_off = (Window.orderBy("_slice")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "_slice",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"))
+    out = (run.join(F.broadcast(offs), "_slice")
+           .withColumn("_before",
+                       F.col("_off") + F.col("_run")
+                       - F.col(bytes_col).cast("long"))
+           # integer `div`, not floor(double /): bit-exact at any
+           # corpus size (a double quotient loses exactness past 2^53)
+           .withColumn("shard",
+                       F.expr(f"_before div {int(target_bytes)}")))
+    return out.drop("_b", "_slice", "_run", "_off", "_before")
+
+
+def shard_manifest(sharded: DataFrame, bytes_col: str) -> DataFrame:
+    """(shard, n_docs, shard_bytes) — the manifest a loader reads to
+    plan an epoch, and the balance check for ``size_balanced_shards``
+    (max/min shard_bytes ratio → 1 as corpus/target grows).  One
+    map-side-combined aggregation on the dense shard key."""
+    return (sharded.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col(bytes_col).cast("long"))
+                 .alias("shard_bytes")))

@@ -25,7 +25,8 @@ from ..functions.hashing import (MERSENNE31, hash60, hash60_sql,
                                  hyperplanes, minhash_coeffs)
 from ..functions.rating import (bucket_rating,
                                 piecewise_rating_lower_better)
-from ..operators import dedup, quality, similarity, textstats, webgraph
+from ..operators import (crawlplan, dedup, quality, sharding, similarity,
+                         textstats, webgraph)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -3084,3 +3085,311 @@ def curation_pipeline_q(spark, sf_dir):
     and the quota stage's bounded (source, hash) window — each
     executed exactly once."""
     return _curation_frames(spark, sf_dir)[1]
+
+
+# ---------------------------------------------------------------- r5 web-2
+# crawl planning (robots / politeness / revisit), output sharding,
+# classifier calibration
+
+_ROBOTS_TXT = ("# corpus crawler policy\n"
+               "User-agent: evilbot\n"
+               "Disallow: /\n"
+               "\n"
+               "User-agent: *\n"
+               "User-Agent: goodbot\n"
+               "Disallow: /private/\n"
+               "Allow: /private/pub/\n"
+               "Disallow: /tmp\n"
+               "Disallow:\n")
+_ROBOTS_TXT_SQL = "'" + _ROBOTS_TXT.replace("\n", "' || chr(10) || '") + "'"
+
+# path fixture: exercises longest-match (allow under disallow), plain
+# prefix vs directory ('/tmpfile' blocked by '/tmp'; '/private' NOT
+# blocked by '/private/'), root, and an untouched subtree
+_ROBOTS_PATH_SQL = """CASE doc_id % 6
+  WHEN 0 THEN '/private/a' || CAST(doc_id AS VARCHAR)
+  WHEN 1 THEN '/private/pub/b' || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN '/tmpfile' || CAST(doc_id AS VARCHAR)
+  WHEN 3 THEN '/ok/' || CAST(doc_id AS VARCHAR)
+  WHEN 4 THEN '/' ELSE '/private' END"""
+
+
+def _robots_path_col():
+    m = F.col("doc_id") % 6
+    i = F.col("doc_id").cast("string")
+    return (F.when(m == 0, F.concat(F.lit("/private/a"), i))
+            .when(m == 1, F.concat(F.lit("/private/pub/b"), i))
+            .when(m == 2, F.concat(F.lit("/tmpfile"), i))
+            .when(m == 3, F.concat(F.lit("/ok/"), i))
+            .when(m == 4, F.lit("/"))
+            .otherwise(F.lit("/private")))
+
+
+@register("robots_filter_documents", f"""
+WITH hosts AS (
+  SELECT DISTINCT source || '.example.com' AS host FROM documents
+),
+raw AS (SELECT host, {_ROBOTS_TXT_SQL} AS robots FROM hosts),
+lines AS (
+  SELECT host, u.i AS pos,
+         trim(regexp_replace(sp[u.i], '#.*', '')) AS line
+  FROM (SELECT host, string_split(robots, chr(10)) AS sp FROM raw),
+       UNNEST(generate_series(1, len(sp))) AS u(i)
+),
+parsed AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+         trim(regexp_extract(line, ':\\s*(.*)$', 1)) AS value
+  FROM lines WHERE length(line) > 0
+),
+g1 AS (
+  SELECT host, pos, directive, value,
+         CASE WHEN directive = 'user-agent' AND coalesce(
+                lag(directive) OVER (PARTITION BY host ORDER BY pos),
+                '') <> 'user-agent'
+              THEN 1 ELSE 0 END AS brk
+  FROM parsed
+),
+g2 AS (
+  SELECT host, directive, value,
+         sum(brk) OVER (PARTITION BY host ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS g
+  FROM g1
+),
+agents AS (SELECT host, g, lower(value) AS agent
+           FROM g2 WHERE directive = 'user-agent'),
+rules AS (SELECT host, g, directive = 'allow' AS is_allow,
+                 value AS prefix
+          FROM g2
+          WHERE directive IN ('allow', 'disallow') AND length(value) > 0),
+ru AS (SELECT r.host, r.is_allow, r.prefix
+       FROM agents a JOIN rules r USING (host, g) WHERE a.agent = '*'),
+p AS (SELECT doc_id AS id, source || '.example.com' AS host,
+             {_ROBOTS_PATH_SQL} AS path
+      FROM documents),
+m AS (
+  SELECT p.id, r.prefix, r.is_allow,
+         row_number() OVER (PARTITION BY p.id
+                            ORDER BY length(r.prefix) DESC,
+                                     r.is_allow DESC, r.prefix ASC) AS rn
+  FROM p JOIN ru r ON p.host = r.host AND starts_with(p.path, r.prefix)
+)
+SELECT p.id, p.host, p.path, m.prefix AS matched_rule,
+       coalesce(m.is_allow, TRUE) AS allowed
+FROM p LEFT JOIN (SELECT id, prefix, is_allow FROM m WHERE rn = 1) m
+       ON p.id = m.id
+""")
+def robots_filter_q(spark, sf_dir):
+    """robots.txt parse + longest-match page marking: every source
+    host publishes the same two-group robots file (a fully-banned
+    evilbot group, then a */goodbot group with an Allow carve-out
+    under a Disallow subtree and an empty Disallow to be dropped);
+    page paths hit every precedence case. The oracle replays the
+    PARSE as well as the match."""
+    docs = _t(spark, sf_dir, "documents")
+    robots = (docs.select(F.concat("source", F.lit(".example.com"))
+                          .alias("host")).distinct()
+              .withColumn("robots", F.lit(_ROBOTS_TXT)))
+    rules = (crawlplan.parse_robots(robots, "host", "robots")
+             .where(F.col("agent") == "*")
+             .select("host", "is_allow", "prefix"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), "source", F.lit(".example.com"),
+                 _robots_path_col()).alias("url"))
+    return crawlplan.robots_mark(pages, "doc_id", "url", rules)
+
+
+_POLITE_HOST_SQL = ("CASE WHEN doc_id % 3 = 0 THEN 'big.example.com' "
+                    "ELSE 'h' || CAST(doc_id % 11 AS VARCHAR) || "
+                    "'.example.com' END")
+_POLITE_URL_SQL = (f"'https://' || {_POLITE_HOST_SQL} || '/p/' || "
+                   "CAST(doc_id AS VARCHAR)")
+
+
+@register("politeness_schedule_documents", f"""
+WITH f AS (
+  SELECT {_POLITE_HOST_SQL} AS host, {_POLITE_URL_SQL} AS url
+  FROM documents
+),
+r AS (
+  SELECT host, url,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY {_bucket_sql('url', 'crawl')}, url)
+           AS rank_in_host
+  FROM f
+)
+SELECT host, url, rank_in_host,
+       CAST((rank_in_host - 1) // 7 AS BIGINT) AS cycle
+FROM r
+""")
+def politeness_schedule_q(spark, sf_dir):
+    """Per-host politeness cycles over a skewed frontier (one
+    mega-host owns a third of the URLs, ten small hosts share the
+    rest; budget 7 URLs/host/cycle). The Spark side runs the
+    segmented-prefix-scan path (n_slices=8) whose exact ranks the
+    oracle reproduces with a plain per-host window."""
+    m = F.col("doc_id") % 3
+    host = F.when(m == 0, F.lit("big.example.com")).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"),
+                 F.lit(".example.com")))
+    f = _t(spark, sf_dir, "documents").select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    out = crawlplan.politeness_schedule(f, "host", "url", per_cycle=7,
+                                        n_slices=8)
+    return out.select("host", "url", "rank_in_host", "cycle")
+
+
+_REVISIT_URL_SQL = ("'https://h' || CAST(user_id % 20 AS VARCHAR) || "
+                    "'.example.com/p' || CAST(event_id % 60 AS VARCHAR)")
+
+
+@register("revisit_policy_events", f"""
+WITH f AS (
+  SELECT {_REVISIT_URL_SQL} AS url, ts, md5(event_type) AS h, event_id
+  FROM events
+),
+c AS (
+  SELECT url, CAST(floor(epoch(ts)) AS BIGINT) AS e, 
+         CASE WHEN lag(h) OVER w IS NOT NULL
+                   AND lag(h) OVER w <> h THEN 1 ELSE 0 END AS chg
+  FROM f WINDOW w AS (PARTITION BY url ORDER BY ts, event_id)
+),
+a AS (
+  SELECT url, count(*) AS n_fetches,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         min(e) AS e0, max(e) AS e1
+  FROM c GROUP BY url
+),
+a2 AS (
+  SELECT url, n_fetches, n_changes, (e1 - e0) / 86400.0 AS span, e1,
+         CASE WHEN n_changes = 0 THEN 45.0
+              ELSE least(45.0, greatest(2.0,
+                         ((e1 - e0) / 86400.0) / n_changes)) END AS itv
+  FROM a
+)
+SELECT url, n_fetches, n_changes,
+       round(span, 6) AS span_days,
+       round(itv, 6) AS interval_days,
+       e1 + CAST(floor(itv * 86400 + 0.5) AS BIGINT) AS next_fetch_epoch
+FROM a2
+""")
+def revisit_policy_q(spark, sf_dir):
+    """Change-rate revisit intervals over a synthetic fetch history:
+    events replayed as ~1,200 URLs × ~8 fetches whose content hash is
+    the event_type (so most URLs 'change' several times) — always-
+    changing URLs clamp to min_days=2, never-changing ones to
+    max_days=45."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("https://h"),
+                 (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example.com/p"),
+                 (F.col("event_id") % 60).cast("string")).alias("url"),
+        "ts", F.md5("event_type").alias("h"), "event_id")
+    return crawlplan.revisit_policy(ev, "url", "ts", "h", "event_id",
+                                    min_days=2.0, max_days=45.0)
+
+
+_SHARD_CUM_SQL = f"""
+d AS (
+  SELECT doc_id, n_chars, {_bucket_sql('doc_id', 'shard')} AS b
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars,
+         sum(CAST(n_chars AS BIGINT))
+           OVER (ORDER BY b, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)"""
+
+
+@register("size_balanced_shards_documents", f"""
+WITH {_SHARD_CUM_SQL}
+SELECT doc_id, n_chars,
+       CAST((cum - n_chars) // 40000 AS BIGINT) AS shard
+FROM r
+""")
+def size_balanced_shards_q(spark, sf_dir):
+    """Size-balanced shard assignment (~40 kB of text per shard) over
+    hash-ordered documents; the oracle replays the exact running sum
+    with one global window, the Spark side runs the segmented
+    prefix-scan (n_slices=8)."""
+    out = sharding.size_balanced_shards(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", target_bytes=40000, n_slices=8)
+    return out.select("doc_id", "n_chars", "shard")
+
+
+@register("shard_manifest_documents", f"""
+WITH {_SHARD_CUM_SQL},
+a AS (
+  SELECT CAST((cum - n_chars) // 40000 AS BIGINT) AS shard, n_chars
+  FROM r
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS shard_bytes
+FROM a GROUP BY shard
+""")
+def shard_manifest_q(spark, sf_dir):
+    """Loader-facing shard manifest (doc count + payload bytes per
+    shard) — the balance evidence for ``size_balanced_shards``."""
+    out = sharding.size_balanced_shards(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", target_bytes=40000, n_slices=8)
+    return sharding.shard_manifest(out, "n_chars")
+
+
+_CALIB_SCORE_SQL = "((doc_id * 37) % 100) / 100.0 + 0.005"
+_CALIB_HASH_SQL = hash60_sql("'lab' || '␟' || CAST(doc_id AS VARCHAR)")
+_CALIB_LABEL_SQL = (f"({_CALIB_HASH_SQL}) % 1000 "
+                    f"< CAST(floor(({_CALIB_SCORE_SQL}) * 800) AS BIGINT)")
+
+
+@register("calibration_report_documents", f"""
+WITH s AS (
+  SELECT {_CALIB_SCORE_SQL} AS score, {_CALIB_LABEL_SQL} AS label
+  FROM documents
+),
+b AS (
+  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         score, CAST(label AS INT) AS y
+  FROM s
+),
+c AS (
+  SELECT bin, count(*) AS n, round(avg(score), 6) AS mean_score,
+         round(avg(y), 6) AS frac_pos
+  FROM b GROUP BY bin
+),
+c2 AS (
+  SELECT bin, round(bin / 10.0, 6) AS bin_lo, n, mean_score, frac_pos,
+         round(abs(mean_score - frac_pos), 6) AS abs_gap
+  FROM c
+),
+e AS (
+  SELECT round(CAST(sum(n * CAST(round(abs_gap * 1000000) AS BIGINT))
+                    AS BIGINT)
+               / (CAST(sum(n) AS BIGINT) * 1000000.0), 6) AS ece
+  FROM c2
+)
+SELECT c2.bin, c2.bin_lo, c2.n, c2.mean_score, c2.frac_pos, c2.abs_gap,
+       e.ece
+FROM c2, e
+""")
+def calibration_report_q(spark, sf_dir):
+    """Reliability diagram + ECE for a deliberately over-confident
+    synthetic classifier: score cycles over (0.005 .. 0.995), labels
+    drawn deterministically (salted hash) at 0.8·score — every bin
+    shows a positive gap and ECE ≈ 0.1·mean-score."""
+    score = (((F.col("doc_id") * 37) % 100) / F.lit(100.0)
+             + F.lit(0.005))
+    label = (F.pmod(hash60(F.concat_ws("␟", F.lit("lab"),
+                                       F.col("doc_id").cast("string"))),
+                    F.lit(1000))
+             < F.floor(score * 800))
+    d = _t(spark, sf_dir, "documents").select(
+        score.alias("score"), label.alias("label"))
+    return quality.calibration_report(d, "score", "label", n_bins=10)

@@ -1,0 +1,193 @@
+"""Tests for crawl-planning (robots / politeness / revisit), output
+sharding and classifier calibration — hand-computed expectations plus
+equality of the segmented-prefix-scan paths against plain single-window
+references."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from standard_data_quality_framework_spark.operators import (
+    crawlplan, quality, sharding)
+from standard_data_quality_framework_spark.operators.sampling import _bucket
+
+ROBOTS = ("# policy\n"
+          "User-agent: evilbot\n"
+          "Disallow: /\n"
+          "\n"
+          "User-agent: *\n"
+          "User-Agent: goodbot\n"
+          "Disallow: /private/\n"
+          "Allow: /private/pub/\n"
+          "Disallow: /tmp\n"
+          "Disallow:\n")
+
+
+def test_parse_robots_groups_and_empty_rules(spark):
+    df = spark.createDataFrame([("h1", ROBOTS)], "host string, r string")
+    rules = {(r.agent, r.is_allow, r.prefix)
+             for r in crawlplan.parse_robots(df, "host", "r").collect()}
+    assert ("evilbot", False, "/") in rules
+    # the */goodbot group binds its three non-empty rules to BOTH agents
+    for agent in ("*", "goodbot"):
+        assert (agent, False, "/private/") in rules
+        assert (agent, True, "/private/pub/") in rules
+        assert (agent, False, "/tmp") in rules
+    # empty-value Disallow dropped; evilbot sees nothing from group 2
+    assert len(rules) == 7
+    assert not any(a == "evilbot" and p != "/" for a, _, p in rules)
+
+
+def test_parse_robots_rules_before_any_agent_ignored(spark):
+    df = spark.createDataFrame(
+        [("h1", "Disallow: /orphan\nUser-agent: *\nDisallow: /x\n")],
+        "host string, r string")
+    rules = {(r.agent, r.prefix)
+             for r in crawlplan.parse_robots(df, "host", "r").collect()}
+    assert rules == {("*", "/x")}
+
+
+def test_robots_mark_longest_match_and_ties(spark):
+    rules = spark.createDataFrame(
+        [("h.com", False, "/private/"), ("h.com", True, "/private/pub/"),
+         ("h.com", False, "/tmp"),
+         # equal-length opposite-polarity pair: Allow must win
+         ("h.com", False, "/dual/"), ("h.com", True, "/dualx")],
+        "host string, is_allow boolean, prefix string")
+    pages = spark.createDataFrame(
+        [(1, "https://h.com/private/a"),
+         (2, "https://h.com/private/pub/b"),
+         (3, "https://h.com/tmpfile"),
+         (4, "https://h.com/private"),      # no trailing slash: allowed
+         (5, "https://h.com/free"),
+         (6, "https://other.com/private/a"),  # host without rules
+         (7, "https://h.com/dual/z")],
+        "id long, url string")
+    out = {r.id: r for r in
+           crawlplan.robots_mark(pages, "id", "url", rules).collect()}
+    assert (out[1].allowed, out[1].matched_rule) == (False, "/private/")
+    assert (out[2].allowed, out[2].matched_rule) == (True, "/private/pub/")
+    assert (out[3].allowed, out[3].matched_rule) == (False, "/tmp")
+    assert out[4].allowed and out[4].matched_rule is None
+    assert out[5].allowed and out[5].matched_rule is None
+    assert out[6].allowed and out[6].matched_rule is None
+    assert (out[7].allowed, out[7].matched_rule) == (False, "/dual/")
+
+
+def _frontier(spark, n=400):
+    host = F.when(F.col("id") % 3 == 0, F.lit("big.com")).otherwise(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")))
+    return spark.range(n).select(
+        host.alias("host"),
+        F.concat(F.lit("https://x/"), F.col("id").cast("string"))
+        .alias("url"))
+
+
+def test_politeness_schedule_matches_plain_window(spark):
+    f = _frontier(spark)
+    got = crawlplan.politeness_schedule(f, "host", "url", per_cycle=5,
+                                        n_slices=8)
+    ref = f.withColumn(
+        "rank_in_host",
+        F.row_number().over(
+            Window.partitionBy("host")
+            .orderBy(_bucket(F.col("url"), "crawl"), "url")).cast("long"))
+    g = {(r.host, r.url): (r.rank_in_host, r.cycle)
+         for r in got.collect()}
+    for r in ref.collect():
+        rk, cyc = g[(r.host, r.url)]
+        assert rk == r.rank_in_host
+        assert cyc == (rk - 1) // 5
+    # every non-final cycle of a host is full
+    from collections import Counter
+    sizes = Counter()
+    for (host, _), (_, cyc) in g.items():
+        sizes[(host, cyc)] += 1
+    for (host, cyc), n in sizes.items():
+        if (host, cyc + 1) in sizes:
+            assert n == 5
+
+
+def test_size_balanced_shards_exact_and_balanced(spark):
+    docs = spark.range(300).select(
+        F.col("id"), (F.pmod(F.col("id") * 131, F.lit(900)) + 100)
+        .alias("nbytes"))
+    got = sharding.size_balanced_shards(docs, "id", "nbytes",
+                                        target_bytes=5000, n_slices=8)
+    ref = docs.withColumn(
+        "shard",
+        F.floor((F.sum("nbytes").over(
+            Window.orderBy(_bucket(F.col("id"), "shard"), "id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("nbytes")) / 5000).cast("long"))
+    g = {r.id: r.shard for r in got.collect()}
+    for r in ref.collect():
+        assert g[r.id] == r.shard
+    man = sharding.shard_manifest(got, "nbytes").collect()
+    shards = sorted(m.shard for m in man)
+    assert shards == list(range(len(man)))  # dense ids from 0
+    max_doc = 999
+    for m in man:
+        assert m.shard_bytes < 5000 + max_doc
+        if m.shard != shards[-1]:
+            assert m.shard_bytes >= 5000 - max_doc
+
+
+def test_calibration_hand_computed(spark):
+    # bin 0.2-0.3: scores .25 ×4, positives 1/4; bin 0.9-1.0: scores
+    # .95 ×2, positives 2/2; score 1.0 clamps into bin 9
+    rows = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+            (0.95, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bin: r for r in
+           quality.calibration_report(df, "score", "label").collect()}
+    assert set(out) == {2, 9}
+    b2, b9 = out[2], out[9]
+    assert b2.n == 4 and math.isclose(b2.mean_score, 0.25)
+    assert math.isclose(b2.frac_pos, 0.25) and math.isclose(b2.abs_gap, 0.0)
+    assert b9.n == 3
+    assert math.isclose(b9.mean_score, round((0.95 * 2 + 1.0) / 3, 6))
+    assert math.isclose(b9.frac_pos, 1.0)
+    gap9 = round(abs(round((0.95 * 2 + 1.0) / 3, 6) - 1.0), 6)
+    assert math.isclose(b9.abs_gap, gap9)
+    ece = round((4 * round(0.0 * 1e6) + 3 * round(gap9 * 1e6)) / (7 * 1e6), 6)
+    assert math.isclose(b2.ece, ece) and math.isclose(b9.ece, ece)
+
+
+def test_revisit_policy_hand_computed(spark):
+    day = 86400
+    rows = [
+        # url A: x,x,y over 10 days -> 1 change, interval 10d
+        ("A", 0 * day, "x", 1), ("A", 4 * day, "x", 2),
+        ("A", 10 * day, "y", 3),
+        # url B: never changes -> max_days
+        ("B", 0 * day, "x", 4), ("B", 30 * day, "x", 5),
+        # url C: changes every 12h -> clamps to min_days
+        ("C", 0, "x", 6), ("C", day // 2, "y", 7), ("C", day, "z", 8),
+    ]
+    df = spark.createDataFrame(rows, "url string, e long, h string, id long")
+    df = df.select("url", F.timestamp_seconds("e").alias("ts"), "h", "id")
+    out = {r.url: r for r in
+           crawlplan.revisit_policy(df, "url", "ts", "h", "id",
+                                    min_days=2.0, max_days=45.0).collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a.n_fetches, a.n_changes) == (3, 1)
+    assert math.isclose(a.span_days, 10.0)
+    assert math.isclose(a.interval_days, 10.0)
+    assert a.next_fetch_epoch == 10 * day + 10 * day
+    assert b.n_changes == 0 and math.isclose(b.interval_days, 45.0)
+    assert b.next_fetch_epoch == 30 * day + 45 * day
+    assert c.n_changes == 2 and math.isclose(c.interval_days, 2.0)
+    assert c.next_fetch_epoch == day + 2 * day
+
+
+def test_revisit_policy_equal_ts_tiebreak(spark):
+    # two fetches at the SAME timestamp: order must follow id
+    rows = [("U", 100, "a", 1), ("U", 100, "b", 2), ("U", 200, "b", 3)]
+    df = spark.createDataFrame(rows, "url string, e long, h string, id long")
+    df = df.select("url", F.timestamp_seconds("e").alias("ts"), "h", "id")
+    out = crawlplan.revisit_policy(df, "url", "ts", "h", "id").collect()[0]
+    assert out.n_changes == 1  # a->b at same ts, then b->b no change
