@@ -173,6 +173,19 @@ COUNTED = [
     # blocklist pass is zero-shuffle: broadcast probes only ("(n)
     # BroadcastExchange" does not match "(n) Exchange")
     ("blocklist_filter_documents", r"\(\d+\) Exchange", 0),
+    # revisit: the per-url change window's Exchange is REUSED by the
+    # groupBy(url) aggregate — one shuffle total for the whole policy
+    ("revisit_policy_events", r"\(\d+\) Exchange", 1),
+    # robots marking: both Exchanges live on the tiny robots-parse
+    # frame (host window + per-host collect_list); the page side is
+    # broadcast-probe only
+    ("robots_filter_documents", r"\(\d+\) Exchange", 2),
+    # politeness: (host,slice) rank window + per-(host,slice) count
+    # agg + host-ordered offset window — all bounded by knobs
+    ("politeness_schedule_documents", r"\(\d+\) Exchange", 3),
+    # sharding: slice cumsum window + per-slice totals agg +
+    # single-partition offsets window (n_slices rows)
+    ("size_balanced_shards_documents", r"\(\d+\) Exchange", 3),
 ]
 
 
