@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "revisit_policy_events",
     "size_balanced_shards_documents",
     "calibration_report_documents",
+    "pr_curve_documents",
+    "frontier_pipeline_documents",
 ]
 
 

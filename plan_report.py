@@ -108,6 +108,12 @@ AUDIT = [
     # calibration: ≤ n_bins reducer keys, ECE stitched via broadcast
     ("calibration_report_documents",
      [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # PR sweep: one partial-agg'd pass; cumulative windows touch only
+    # the ≤ n_bins bin frame
+    ("pr_curve_documents",
+     ["Window", r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # frontier composition: blocklist + robots probes stay broadcast
+    ("frontier_pipeline_documents", ["BroadcastHashJoin", "Window"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -135,6 +141,9 @@ FORBID_EXTRA = [
      ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
     # revisit is pure window + aggregate — no join of any kind
     ("revisit_policy_events", ["CartesianProduct", "Join"]),
+    ("pr_curve_documents", ["CartesianProduct", "Join"]),
+    ("frontier_pipeline_documents", ["CartesianProduct",
+                                     "BroadcastNestedLoopJoin"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the

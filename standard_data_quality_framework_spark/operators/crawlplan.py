@@ -101,8 +101,10 @@ def parse_robots(df: DataFrame, host_col: str,
 
 
 def robots_mark(pages: DataFrame, id_col: str, url_col: str,
-                rules: DataFrame) -> DataFrame:
-    """(id, host, path, matched_rule, allowed) — mark every page with
+                rules: DataFrame,
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, host, path, matched_rule, allowed [, *keep_cols]) — mark
+    every page with
     its robots verdict under longest-match-wins semantics (Google's
     published precedence: the most specific — longest — matching
     prefix decides; at equal length ``Allow`` beats ``Disallow``; no
@@ -129,10 +131,12 @@ def robots_mark(pages: DataFrame, id_col: str, url_col: str,
         .agg(F.collect_list(F.struct("is_allow", "prefix"))
              .alias("_rules")))
     p = pages.select(F.col(id_col).alias("id"),
-                     F.col(url_col).alias("_url"))
+                     F.col(url_col).alias("_url"),
+                     *[F.col(c) for c in keep_cols])
     from ..functions.urlnorm import host_of
     p = p.select("id", host_of("_url").alias("host"),
-                 path_of("_url").alias("path"))
+                 path_of("_url").alias("path"),
+                 *[F.col(c) for c in keep_cols])
     zero = F.struct(F.lit(-1).alias("len"),
                     F.lit(True).alias("allow"),
                     F.lit(None).cast("string").alias("rule"))
@@ -159,7 +163,8 @@ def robots_mark(pages: DataFrame, id_col: str, url_col: str,
     return joined.select(
         "id", "host", "path",
         best["rule"].alias("matched_rule"),
-        best["allow"].alias("allowed"))
+        best["allow"].alias("allowed"),
+        *[F.col(c) for c in keep_cols])
 
 
 def politeness_schedule(df: DataFrame, host_col: str, url_col: str,

@@ -9,7 +9,7 @@ map-side, no skew (global aggregates), no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rating import bucket_rating
@@ -398,3 +398,52 @@ def calibration_report(df: DataFrame, score_col: str, label_col: str,
         F.round(F.sum(F.col("n") * gap_micro)
                 / (F.sum("n") * F.lit(1e6)), 6).alias("ece"))
     return curve.crossJoin(F.broadcast(ece))
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str,
+             n_bins: int = 10) -> DataFrame:
+    """Threshold sweep for a keep/drop classifier: one row per
+    candidate threshold (every bin lower edge), with the confusion
+    counts and precision/recall/F1 the corpus would see if the filter
+    kept docs scoring ≥ that threshold — the table a curator reads to
+    pick the operating point (``calibration_curve`` says whether the
+    scores are honest; this says what each cutoff costs).
+
+    All ratios are computed from the INTEGER tp/fp/fn counts in one
+    division each (engine-stable: both engines divide the same two
+    longs), F1 as 2·tp/(2·tp+fp+fn) — never from pre-rounded
+    precision/recall.
+
+    Scale shape: one groupBy onto ≤ ``n_bins`` keys (map-side
+    combined), then cumulative windows over the ≤ ``n_bins``-row bin
+    frame — the single-partition window touches bin COUNTS, never
+    rows, so the pass over the corpus is exactly one partial
+    aggregation.
+    """
+    s = F.col(score_col).cast("double")
+    bin_ = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("long")
+    y = F.col(label_col).cast("int")
+    per_bin = (df.select(bin_.alias("bin"), y.alias("_y"))
+               .groupBy("bin")
+               .agg(F.count("*").alias("_n"),
+                    F.sum("_y").cast("long").alias("_pos")))
+    w_ge = (Window.orderBy(F.desc("bin"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    c = per_bin.select(
+        "bin",
+        F.sum("_pos").over(w_ge).alias("tp"),
+        (F.sum("_n").over(w_ge) - F.sum("_pos").over(w_ge)).alias("fp"),
+        (F.sum("_pos").over(w_all) - F.sum("_pos").over(w_ge))
+        .alias("fn"))
+    return c.select(
+        F.round(F.col("bin") / n_bins, 6).alias("threshold"),
+        "tp", "fp", "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6)
+        .alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6)
+        .alias("recall"),
+        F.round(2 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        .alias("f1"))

@@ -28,11 +28,13 @@ from pyspark.sql import functions as F
 
 
 def domain_blocklist_mark(df: DataFrame, id_col: str, url_col: str,
-                          blocklist: DataFrame,
-                          max_labels: int = 4) -> DataFrame:
-    """(id, host, matched_rule, blocked) — mark rows whose URL host or
-    any parent-domain suffix appears in ``blocklist`` (single column
-    ``host``, lower-case exact hosts or domain suffixes).
+                          blocklist: DataFrame, max_labels: int = 4,
+                          keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, host, matched_rule, blocked [, *keep_cols]) — mark rows
+    whose URL host or any parent-domain suffix appears in ``blocklist``
+    (single column ``host``, lower-case exact hosts or domain
+    suffixes).  ``keep_cols`` are carried through untouched so a
+    pipeline can chain the next stage without a join-back on id.
 
     Matching depth: the exact host plus every trailing-label suffix of
     2..``max_labels`` labels ("ads.x.example.com" is blocked by any of
@@ -59,7 +61,8 @@ def domain_blocklist_mark(df: DataFrame, id_col: str, url_col: str,
     from ..functions.urlnorm import host_of
     bl = F.broadcast(blocklist.select(F.col("host").alias("_bl_host")))
     out = df.select(F.col(id_col).alias("id"),
-                    host_of(url_col).alias("host"))
+                    host_of(url_col).alias("host"),
+                    *[F.col(c) for c in keep_cols])
     parts = F.split(F.col("host"), "\\.")
     n = F.size(parts)
     # longest-first so coalesce() below prefers the most specific rule
@@ -79,7 +82,8 @@ def domain_blocklist_mark(df: DataFrame, id_col: str, url_col: str,
     return (out.select(
         "id", "host",
         F.coalesce(*matched).alias("matched_rule"),
-        F.coalesce(*matched).isNotNull().alias("blocked")))
+        F.coalesce(*matched).isNotNull().alias("blocked"),
+        *[F.col(c) for c in keep_cols]))
 
 
 def extract_outlinks(df: DataFrame, id_col: str, html_col: str) -> DataFrame:

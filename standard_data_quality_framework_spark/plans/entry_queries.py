@@ -3393,3 +3393,170 @@ def calibration_report_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         score.alias("score"), label.alias("label"))
     return quality.calibration_report(d, "score", "label", n_bins=10)
+
+
+@register("pr_curve_documents", f"""
+WITH s AS (
+  SELECT {_CALIB_SCORE_SQL} AS score, {_CALIB_LABEL_SQL} AS label
+  FROM documents
+),
+b AS (
+  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         CAST(label AS INT) AS y
+  FROM s
+),
+c AS (
+  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM b GROUP BY bin
+),
+k AS (
+  SELECT bin,
+         CAST(sum(pos) OVER wge AS BIGINT) AS tp,
+         CAST(sum(n) OVER wge - sum(pos) OVER wge AS BIGINT) AS fp,
+         CAST(sum(pos) OVER () - sum(pos) OVER wge AS BIGINT) AS fn
+  FROM c
+  WINDOW wge AS (ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT round(bin / 10.0, 6) AS threshold, tp, fp, fn,
+       round(tp / (tp + fp), 6) AS precision,
+       round(tp / (tp + fn), 6) AS recall,
+       round(2 * tp / (2 * tp + fp + fn), 6) AS f1
+FROM k
+""")
+def pr_curve_q(spark, sf_dir):
+    """Threshold sweep over the same over-confident synthetic
+    classifier as ``calibration_report_documents``: precision climbs
+    and recall falls as the cutoff rises; F1 comes straight from the
+    integer confusion counts."""
+    score = (((F.col("doc_id") * 37) % 100) / F.lit(100.0)
+             + F.lit(0.005))
+    label = (F.pmod(hash60(F.concat_ws("␟", F.lit("lab"),
+                                       F.col("doc_id").cast("string"))),
+                    F.lit(1000))
+             < F.floor(score * 800))
+    d = _t(spark, sf_dir, "documents").select(
+        score.alias("score"), label.alias("label"))
+    return quality.pr_curve(d, "score", "label", n_bins=10)
+
+
+_FRONTIER_HOST_SQL = ("CASE WHEN doc_id % 11 = 0 THEN 'cdn.t' || "
+                      "CAST(doc_id % 4 AS VARCHAR) || '.adnet.org' "
+                      "ELSE 's' || CAST(doc_id % 3 AS VARCHAR) || '.' || "
+                      "source || '.example.com' END")
+_FRONTIER_PATH_SQL = ("CASE WHEN doc_id % 5 = 0 THEN '/private/x' || "
+                      "CAST(doc_id % 40 AS VARCHAR) ELSE '/Docs/' || "
+                      "CAST(doc_id % 40 AS VARCHAR) END")
+_PATH_RE_SQL = "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#?]*)?'"
+
+
+@register("frontier_pipeline_documents", f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         'HTTPS://WWW.' || upper({_FRONTIER_HOST_SQL}) ||
+         {_FRONTIER_PATH_SQL} ||
+         '?utm_campaign=c' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),{_URLNORM_CHAIN_SQL},
+f AS (
+  SELECT id, u AS url_norm,
+         lower(regexp_extract(u,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM n7
+),
+nb AS (
+  -- single-entry blocklist 'adnet.org': label-suffix match ==
+  -- exact-or-dot-suffix for a 2-label rule
+  SELECT * FROM f
+  WHERE host <> 'adnet.org' AND host NOT LIKE '%.adnet.org'
+),
+rp AS (
+  SELECT id, url_norm, host,
+         CASE WHEN length(regexp_extract(url_norm, {_PATH_RE_SQL}, 1)) > 0
+              THEN regexp_extract(url_norm, {_PATH_RE_SQL}, 1)
+              ELSE '/' END AS path
+  FROM nb
+),
+ru AS (
+  SELECT * FROM (VALUES (FALSE, '/private/'), (TRUE, '/private/pub/'),
+                        (FALSE, '/tmp')) r(is_allow, prefix)
+),
+m AS (
+  SELECT rp.id, r.is_allow,
+         row_number() OVER (PARTITION BY rp.id
+                            ORDER BY length(r.prefix) DESC,
+                                     r.is_allow DESC, r.prefix) AS rn
+  FROM rp JOIN ru r ON starts_with(rp.path, r.prefix)
+),
+alw AS (
+  SELECT rp.id, rp.url_norm, rp.host
+  FROM rp LEFT JOIN (SELECT id, is_allow FROM m WHERE rn = 1) m
+       USING (id)
+  WHERE coalesce(m.is_allow, TRUE)
+),
+ded AS (
+  SELECT id, url_norm, host,
+         id <> min(id) OVER (PARTITION BY url_norm) AS is_dup
+  FROM alw
+),
+sv AS (SELECT id, url_norm, host FROM ded WHERE NOT is_dup),
+pol AS (
+  SELECT id, url_norm, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY {_bucket_sql('url_norm', 'crawl')},
+                                     url_norm) AS rank_in_host
+  FROM sv
+)
+SELECT id, host, url_norm, rank_in_host,
+       CAST((rank_in_host - 1) // 5 AS BIGINT) AS cycle
+FROM pol
+""")
+def frontier_pipeline_q(spark, sf_dir):
+    """End-to-end frontier curation — the URL-side counterpart of
+    ``curation_pipeline_documents``, each stage an already-oracle-
+    checked operator: canonicalize → domain blocklist → robots.txt
+    longest-match → URL-level dedup → per-host politeness cycles.
+    Fixture: every 11th doc sits on a blocked ad network, every 5th
+    under a robots-disallowed subtree, and (host, doc_id%40) path
+    collisions create real URL-dup clusters; survivors get exact
+    per-host fetch ranks. Stages chain via keep_cols passthrough —
+    no join-backs."""
+    from ..functions.urlnorm import host_of, normalize_url
+    docs = _t(spark, sf_dir, "documents")
+    mhost = (F.when(F.col("doc_id") % 11 == 0,
+                    F.concat(F.lit("cdn.t"),
+                             (F.col("doc_id") % 4).cast("string"),
+                             F.lit(".adnet.org")))
+             .otherwise(F.concat(F.lit("s"),
+                                 (F.col("doc_id") % 3).cast("string"),
+                                 F.lit("."), F.col("source"),
+                                 F.lit(".example.com"))))
+    path = (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("/private/x"),
+                            (F.col("doc_id") % 40).cast("string")))
+            .otherwise(F.concat(F.lit("/Docs/"),
+                                (F.col("doc_id") % 40).cast("string"))))
+    url = F.concat(F.lit("HTTPS://WWW."), F.upper(mhost), path,
+                   F.lit("?utm_campaign=c"),
+                   F.col("doc_id").cast("string"))
+    pages = docs.select(F.col("doc_id").alias("id"),
+                        normalize_url(url).alias("url_norm"))
+    bl = spark.createDataFrame([("adnet.org",)], "host string")
+    marked = webgraph.domain_blocklist_mark(pages, "id", "url_norm", bl,
+                                            keep_cols=("url_norm",))
+    surv1 = marked.where(~F.col("blocked")).select("id", "url_norm")
+    hosts = (surv1.select(host_of("url_norm").alias("host")).distinct()
+             .withColumn("robots", F.lit(_ROBOTS_TXT)))
+    rules = (crawlplan.parse_robots(hosts, "host", "robots")
+             .where(F.col("agent") == "*")
+             .select("host", "is_allow", "prefix"))
+    rob = crawlplan.robots_mark(surv1, "id", "url_norm", rules,
+                                keep_cols=("url_norm",))
+    surv2 = rob.where(F.col("allowed")).select("id", "url_norm")
+    dd = dedup.url_dedup(surv2, "id", "url_norm")
+    surv3 = (dd.where(~F.col("is_dup"))
+             .select("id", "url_norm",
+                     host_of("url_norm").alias("host")))
+    out = crawlplan.politeness_schedule(surv3, "host", "url_norm",
+                                        per_cycle=5, n_slices=8)
+    return out.select("id", "host", "url_norm", "rank_in_host", "cycle")

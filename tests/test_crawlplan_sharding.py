@@ -191,3 +191,41 @@ def test_revisit_policy_equal_ts_tiebreak(spark):
     df = df.select("url", F.timestamp_seconds("e").alias("ts"), "h", "id")
     out = crawlplan.revisit_policy(df, "url", "ts", "h", "id").collect()[0]
     assert out.n_changes == 1  # a->b at same ts, then b->b no change
+
+
+def test_pr_curve_hand_computed(spark):
+    rows = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+            (0.95, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.threshold: r for r in
+           quality.pr_curve(df, "score", "label").collect()}
+    assert set(out) == {0.2, 0.9}
+    hi, lo = out[0.9], out[0.2]
+    assert (hi.tp, hi.fp, hi.fn) == (3, 0, 1)
+    assert math.isclose(hi.precision, 1.0)
+    assert math.isclose(hi.recall, 0.75)
+    assert math.isclose(hi.f1, round(6 / 7, 6))
+    assert (lo.tp, lo.fp, lo.fn) == (4, 3, 0)
+    assert math.isclose(lo.precision, round(4 / 7, 6))
+    assert math.isclose(lo.recall, 1.0)
+    assert math.isclose(lo.f1, round(8 / 11, 6))
+
+
+def test_frontier_pipeline_invariants(spark):
+    from standard_data_quality_framework_spark.plans.entry_queries import (
+        QUERIES)
+    out = QUERIES["frontier_pipeline_documents"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    urls = [r.url_norm for r in out]
+    assert len(set(urls)) == len(urls)          # post-dedup: unique
+    for r in out:
+        assert not r.host.endswith("adnet.org")  # blocklist applied
+        assert "/private/" not in r.url_norm     # robots applied
+        assert r.cycle == (r.rank_in_host - 1) // 5
+    from collections import defaultdict
+    ranks = defaultdict(list)
+    for r in out:
+        ranks[r.host].append(r.rank_in_host)
+    for host, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))  # dense ranks
