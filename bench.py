@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "calibration_report_documents",
     "pr_curve_documents",
     "frontier_pipeline_documents",
+    "bloom_membership_documents",
 ]
 
 

@@ -114,6 +114,10 @@ AUDIT = [
      ["Window", r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
     # frontier composition: blocklist + robots probes stay broadcast
     ("frontier_pipeline_documents", ["BroadcastHashJoin", "Window"]),
+    # bloom probe: kilobyte sketch broadcast, bool_and map-side combined
+    ("bloom_membership_documents",
+     ["BroadcastHashJoin",
+      r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -144,6 +148,8 @@ FORBID_EXTRA = [
     ("pr_curve_documents", ["CartesianProduct", "Join"]),
     ("frontier_pipeline_documents", ["CartesianProduct",
                                      "BroadcastNestedLoopJoin"]),
+    ("bloom_membership_documents",
+     ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the

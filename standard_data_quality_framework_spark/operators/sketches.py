@@ -172,3 +172,81 @@ def grouped_quantiles(df: DataFrame, group_cols: list[str],
             agg.append(F.percentile(
                 F.col(value_col), F.lit(q)).alias(alias))
     return df.groupBy(*group_cols).agg(*agg)
+
+
+def bloom_sketch(df: DataFrame, key_col: str, n_bits: int = 16384,
+                 k: int = 4, salt: str = "bloom") -> DataFrame:
+    """(word_idx, bits) — a Bloom filter over ``key_col`` packed into
+    63-bit words (bit 63 stays clear so no engine ever has to shift
+    into the sign bit — DuckDB rejects ``1::BIGINT << 63``), the
+    crawler seen-URL set: a frontier of 10^12 fetched URLs becomes
+    ``n_bits`` bits the scheduler probes before enqueueing, with
+    false-positive rate ≈ fill^k and NO false negatives.
+
+    The k probe positions come from independently-salted hash60
+    values, so both engines compute bit-identical filters and the
+    sketch has an exact SQL oracle (same determinism design as
+    ``hll_distinct``). Words whose bits are all zero are absent.
+
+    Scale shape: k rows per key explode into (word, mask) pairs whose
+    ``bit_or`` partially aggregates map-side — a partition containing
+    the same hot URL a million times combines to ≤ k rows before the
+    shuffle; reducer keys are bounded by the FILTER size (a knob),
+    not the corpus. The result is mergeable: ``bit_or`` two days'
+    sketches word-by-word for the rolling seen-set.
+    """
+    pos = [F.pmod(hash60(F.concat_ws("␟", F.lit(f"{salt}{i}"),
+                                     F.col(key_col).cast("string"))),
+                  F.lit(n_bits)) for i in range(k)]
+    exploded = df.select(F.explode(F.array(*pos)).alias("_pos"))
+    return (exploded
+            .select(F.expr("_pos div 63").alias("word_idx"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(_pos % 63 AS INT))").alias("_mask"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("_mask").alias("bits")))
+
+
+def bloom_summary(sketch: DataFrame, n_bits: int,
+                  k: int = 4) -> DataFrame:
+    """One row (n_set_bits, fill_frac, est_fpr) from a
+    ``bloom_sketch`` frame — the saturation gauge that tells the
+    scheduler when to grow or rotate the filter (est_fpr = fill^k,
+    the standard approximation). One tiny aggregation over ≤
+    ceil(n_bits/63) rows."""
+    agg = sketch.agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("long").alias("n_set_bits"))
+    fill = F.col("n_set_bits") / F.lit(float(n_bits))
+    return agg.select(
+        "n_set_bits",
+        F.round(fill, 6).alias("fill_frac"),
+        F.round(F.pow(fill, F.lit(float(k))), 6).alias("est_fpr"))
+
+
+def bloom_maybe_contains(df: DataFrame, key_col: str, sketch: DataFrame,
+                         n_bits: int = 16384, k: int = 4,
+                         salt: str = "bloom") -> DataFrame:
+    """(key, maybe_in) — probe every row's key against a
+    ``bloom_sketch`` frame: true iff ALL k probe bits are set (no
+    false negatives; false positives at ≈ fill^k).
+
+    Scale shape: the sketch (≤ ceil(n_bits/63) rows — kilobytes) is
+    broadcast; each key explodes into its k (word, mask) probes, one
+    BroadcastHashJoin, then a bool_and back onto the uniform key —
+    map-side combined, no skew.
+    """
+    pos = [F.pmod(hash60(F.concat_ws("␟", F.lit(f"{salt}{i}"),
+                                     F.col(key_col).cast("string"))),
+                  F.lit(n_bits)) for i in range(k)]
+    probes = (df.select(F.col(key_col).alias("key"),
+                        F.explode(F.array(*pos)).alias("_pos"))
+              .select("key",
+                      F.expr("_pos div 63").alias("word_idx"),
+                      F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(_pos % 63 AS INT))").alias("_mask")))
+    joined = probes.join(F.broadcast(sketch), "word_idx", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("_mask")) != 0)
+    return (joined.groupBy("key")
+            .agg(F.bool_and(hit).alias("maybe_in")))

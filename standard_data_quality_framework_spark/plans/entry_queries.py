@@ -26,7 +26,7 @@ from ..functions.hashing import (MERSENNE31, hash60, hash60_sql,
 from ..functions.rating import (bucket_rating,
                                 piecewise_rating_lower_better)
 from ..operators import (crawlplan, dedup, quality, sharding, similarity,
-                         textstats, webgraph)
+                         sketches, textstats, webgraph)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -3560,3 +3560,76 @@ def frontier_pipeline_q(spark, sf_dir):
     out = crawlplan.politeness_schedule(surv3, "host", "url_norm",
                                         per_cycle=5, n_slices=8)
     return out.select("id", "host", "url_norm", "rank_in_host", "cycle")
+
+
+_BLOOM_URL_SQL = ("'https://' || source || '.example.com/p/' || "
+                  "CAST(doc_id AS VARCHAR)")
+
+
+def _bloom_pos_sql(key_expr: str, n_bits: int, k: int = 4) -> str:
+    terms = []
+    for i in range(k):
+        salted = "'bloom" + str(i) + "' || '␟' || (" + key_expr + ")"
+        terms.append(f"({hash60_sql(salted)}) % {n_bits}")
+    return "[" + ", ".join(terms) + "]"
+
+
+_BLOOM_SKETCH_SQL = f"""
+u AS (SELECT doc_id, {_BLOOM_URL_SQL} AS url FROM documents),
+seedp AS (
+  SELECT unnest({_bloom_pos_sql('url', 4096)}) AS p
+  FROM u WHERE doc_id % 2 = 0
+),
+sk AS (
+  SELECT p // 63 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM seedp GROUP BY 1
+)"""
+
+
+@register("bloom_sketch_documents", f"""
+WITH {_BLOOM_SKETCH_SQL}
+SELECT word_idx, bits FROM sk
+""")
+def bloom_sketch_q(spark, sf_dir):
+    """Bloom seen-URL filter over the even-doc_id half of the corpus
+    (4096 bits, k=4) — the frontier's 'have I fetched this' set,
+    bit-identical across engines."""
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    seed = u.where(F.col("doc_id") % 2 == 0)
+    return sketches.bloom_sketch(seed, "url", n_bits=4096, k=4)
+
+
+@register("bloom_membership_documents", f"""
+WITH {_BLOOM_SKETCH_SQL},
+pr AS (
+  SELECT url AS key, unnest({_bloom_pos_sql('url', 4096)}) AS p
+  FROM u
+),
+pw AS (
+  SELECT key, p // 63 AS word_idx,
+         CAST(1 AS BIGINT) << CAST(p % 63 AS INT) AS mask
+  FROM pr
+),
+j AS (
+  SELECT pw.key, (coalesce(sk.bits, 0) & pw.mask) <> 0 AS hit
+  FROM pw LEFT JOIN sk USING (word_idx)
+)
+SELECT key, bool_and(hit) AS maybe_in FROM j GROUP BY key
+""")
+def bloom_membership_q(spark, sf_dir):
+    """Probe EVERY doc URL against the even-half Bloom filter: seeded
+    URLs always hit (no false negatives); odd-doc_id URLs mostly miss,
+    with the occasional fill^k false positive — identically in both
+    engines."""
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    seed = u.where(F.col("doc_id") % 2 == 0)
+    sk = sketches.bloom_sketch(seed, "url", n_bits=4096, k=4)
+    return sketches.bloom_maybe_contains(u, "url", sk,
+                                         n_bits=4096, k=4)

@@ -229,3 +229,40 @@ def test_frontier_pipeline_invariants(spark):
         ranks[r.host].append(r.rank_in_host)
     for host, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))  # dense ranks
+
+
+def _keys(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("https://k/"), F.col("id").cast("string"))
+        .alias("u"))
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    from standard_data_quality_framework_spark.operators import sketches
+    seed = _keys(spark, 0, 200)
+    sk = sketches.bloom_sketch(seed, "u", n_bits=16384, k=4)
+    probe = _keys(spark, 0, 400)
+    got = {r.key: r.maybe_in for r in
+           sketches.bloom_maybe_contains(probe, "u", sk, n_bits=16384,
+                                         k=4).collect()}
+    members = [f"https://k/{i}" for i in range(200)]
+    assert all(got[m] for m in members)           # never a false negative
+    fps = sum(got[f"https://k/{i}"] for i in range(200, 400))
+    assert fps <= 2                               # fill^4 ≈ 5e-6 here
+
+
+def test_bloom_merge_and_summary(spark):
+    from standard_data_quality_framework_spark.operators import sketches
+    a = sketches.bloom_sketch(_keys(spark, 0, 100), "u", n_bits=4096)
+    b = sketches.bloom_sketch(_keys(spark, 100, 200), "u", n_bits=4096)
+    both = sketches.bloom_sketch(_keys(spark, 0, 200), "u", n_bits=4096)
+    merged = (a.unionByName(b).groupBy("word_idx")
+              .agg(F.bit_or("bits").alias("bits")))
+    m = {r.word_idx: r.bits for r in merged.collect()}
+    w = {r.word_idx: r.bits for r in both.collect()}
+    assert m == w                                 # sketches merge by OR
+    summ = sketches.bloom_summary(both, n_bits=4096, k=4).collect()[0]
+    n_set = sum(bin(v & ((1 << 63) - 1)).count("1") for v in w.values())
+    assert summ.n_set_bits == n_set
+    assert math.isclose(summ.fill_frac, round(n_set / 4096, 6))
+    assert math.isclose(summ.est_fpr, round((n_set / 4096) ** 4, 6))
