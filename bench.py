@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "pr_curve_documents",
     "frontier_pipeline_documents",
     "bloom_membership_documents",
+    "score_drift_psi_documents",
 ]
 
 

@@ -118,6 +118,9 @@ AUDIT = [
     ("bloom_membership_documents",
      ["BroadcastHashJoin",
       r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # PSI: two ≤ n_bins bin frames, broadcast-stitched totals
+    ("score_drift_psi_documents",
+     [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)

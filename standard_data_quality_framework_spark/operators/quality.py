@@ -447,3 +447,50 @@ def pr_curve(df: DataFrame, score_col: str, label_col: str,
         F.round(2 * F.col("tp")
                 / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
         .alias("f1"))
+
+
+def score_drift_psi(df_a: DataFrame, df_b: DataFrame, score_col: str,
+                    n_bins: int = 10,
+                    min_share: float = 1e-6) -> DataFrame:
+    """Population stability index between two snapshots of a score
+    distribution — the standard drift alarm for a quality classifier
+    between crawl snapshots (PSI < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 the model or the corpus changed; credit-scoring heritage,
+    same formula corpus cards use).  Per-bin rows (bin, bin_lo,
+    share_a, share_b, psi_term) with the total ``psi`` stitched onto
+    every row via a broadcast of the ≤ ``n_bins``-row aggregate (the
+    ``calibration_report`` shape).
+
+    psi_term = (a − b)·ln(a/b) over shares clamped to ``min_share``
+    (the standard zero-bin guard); shares and terms are rounded to 6
+    decimals, the total is summed from the ROUNDED terms so both
+    engines report the same figure.
+
+    Scale shape: one map-side-combined groupBy onto ≤ ``n_bins`` keys
+    per snapshot, a broadcast join of two tiny bin frames, zero
+    corpus-scale shuffles.
+    """
+    def bins(df: DataFrame, share_name: str) -> DataFrame:
+        s = F.col(score_col).cast("double")
+        b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("long")
+        per = (df.select(b.alias("bin")).groupBy("bin")
+               .agg(F.count("*").alias("_n")))
+        tot = per.agg(F.sum("_n").alias("_tot"))
+        return (per.crossJoin(F.broadcast(tot))
+                .select("bin", (F.col("_n") / F.col("_tot"))
+                        .alias(share_name)))
+    a = bins(df_a, "_sa")
+    b = bins(df_b, "_sb")
+    j = a.join(b, "bin", "full")
+    sa = F.greatest(F.coalesce(F.col("_sa"), F.lit(0.0)),
+                    F.lit(float(min_share)))
+    sb = F.greatest(F.coalesce(F.col("_sb"), F.lit(0.0)),
+                    F.lit(float(min_share)))
+    terms = j.select(
+        "bin",
+        F.round(F.col("bin") / n_bins, 6).alias("bin_lo"),
+        F.round(sa, 6).alias("share_a"),
+        F.round(sb, 6).alias("share_b"),
+        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"))
+    total = terms.agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+    return terms.crossJoin(F.broadcast(total))

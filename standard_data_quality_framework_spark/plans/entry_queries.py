@@ -3633,3 +3633,49 @@ def bloom_membership_q(spark, sf_dir):
     sk = sketches.bloom_sketch(seed, "url", n_bits=4096, k=4)
     return sketches.bloom_maybe_contains(u, "url", sk,
                                          n_bits=4096, k=4)
+
+
+@register("score_drift_psi_documents", f"""
+WITH a AS (SELECT {_CALIB_SCORE_SQL} AS score FROM documents),
+bsnap AS (SELECT ({_CALIB_SCORE_SQL}) * 0.8 + 0.1 AS score
+          FROM documents),
+aa AS (
+  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM a GROUP BY 1
+),
+bb AS (
+  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM bsnap GROUP BY 1
+),
+sa AS (SELECT bin, n / CAST(t._t AS BIGINT) AS sh
+       FROM aa, (SELECT sum(n) AS _t FROM aa) t),
+sb AS (SELECT bin, n / CAST(t._t AS BIGINT) AS sh
+       FROM bb, (SELECT sum(n) AS _t FROM bb) t),
+j AS (
+  SELECT coalesce(sa.bin, sb.bin) AS bin,
+         greatest(coalesce(sa.sh, 0.0), 0.000001) AS va,
+         greatest(coalesce(sb.sh, 0.0), 0.000001) AS vb
+  FROM sa FULL JOIN sb ON sa.bin = sb.bin
+),
+terms AS (
+  SELECT bin, round(bin / 10.0, 6) AS bin_lo,
+         round(va, 6) AS share_a, round(vb, 6) AS share_b,
+         round((va - vb) * ln(va / vb), 6) AS psi_term
+  FROM j
+)
+SELECT t.bin, t.bin_lo, t.share_a, t.share_b, t.psi_term, e.psi
+FROM terms t, (SELECT round(sum(psi_term), 6) AS psi FROM terms) e
+""")
+def score_drift_psi_q(spark, sf_dir):
+    """PSI between the synthetic classifier's scores and a
+    drifted snapshot (score' = 0.8·score + 0.1 — the compression a
+    stale model shows on a shifted corpus): tail bins empty out,
+    middle bins swell, PSI lands deep in the 'investigate' band."""
+    score = (((F.col("doc_id") * 37) % 100) / F.lit(100.0)
+             + F.lit(0.005))
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(score.alias("score"))
+    b = docs.select((score * F.lit(0.8) + F.lit(0.1)).alias("score"))
+    return quality.score_drift_psi(a, b, "score", n_bins=10)

@@ -266,3 +266,28 @@ def test_bloom_merge_and_summary(spark):
     assert summ.n_set_bits == n_set
     assert math.isclose(summ.fill_frac, round(n_set / 4096, 6))
     assert math.isclose(summ.est_fpr, round((n_set / 4096) ** 4, 6))
+
+
+def test_score_drift_psi_hand_computed(spark):
+    a = spark.createDataFrame([(0.05,), (0.05,), (0.55,), (0.55,)],
+                              "score double")
+    b = spark.createDataFrame([(0.05,), (0.55,), (0.55,), (0.55,)],
+                              "score double")
+    out = {r.bin: r for r in
+           quality.score_drift_psi(a, b, "score").collect()}
+    assert set(out) == {0, 5}
+    t0 = round((0.5 - 0.25) * math.log(0.5 / 0.25), 6)
+    t5 = round((0.5 - 0.75) * math.log(0.5 / 0.75), 6)
+    assert math.isclose(out[0].psi_term, t0)
+    assert math.isclose(out[5].psi_term, t5)
+    assert math.isclose(out[0].psi, round(t0 + t5, 6))
+
+
+def test_score_drift_psi_empty_bin_clamped(spark):
+    # B misses bin 0 entirely -> share clamped to 1e-6, term finite
+    a = spark.createDataFrame([(0.05,), (0.55,)], "score double")
+    b = spark.createDataFrame([(0.55,), (0.55,)], "score double")
+    out = {r.bin: r for r in
+           quality.score_drift_psi(a, b, "score").collect()}
+    assert math.isclose(out[0].share_b, 1e-6)
+    assert out[0].psi_term > 0 and math.isfinite(out[0].psi)
