@@ -101,8 +101,8 @@ def parse_robots(df: DataFrame, host_col: str,
 
 
 def robots_mark(pages: DataFrame, id_col: str, url_col: str,
-                rules: DataFrame,
-                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+                rules: DataFrame, keep_cols: tuple[str, ...] = (),
+                broadcast_rules: bool = True) -> DataFrame:
     """(id, host, path, matched_rule, allowed [, *keep_cols]) — mark
     every page with
     its robots verdict under longest-match-wins semantics (Google's
@@ -121,15 +121,23 @@ def robots_mark(pages: DataFrame, id_col: str, url_col: str,
     (robots files are tiny, so the array is too) and ships as a
     broadcast; every page then does a single BroadcastHashJoin probe
     plus a row-local ``aggregate`` fold over its host's rules — zero
-    data-side Exchange, embarrassingly parallel over scan splits.  The
+    data-side Exchange, embarrassingly parallel over scan splits.
+    The broadcast default fits curated rule sets (UT1-size lists, a
+    crawl partition's hosts); for a FULL-WEB robots corpus (10^8
+    hosts — tens of GB, not broadcastable) pass
+    ``broadcast_rules=False`` and the probe plans as a plain equi-join
+    on the uniform host key — one bounded shuffle per side,
+    AQE-skew-splittable, identical output (equality pinned by
+    pytest).  The
     fold is one flat pass (no nested higher-order expressions — see
     the CodegenFallback no-CSE trap documented in
     ``textstats.winnowing_fingerprints``).
     """
-    per_host = F.broadcast(
-        rules.groupBy("host")
-        .agg(F.collect_list(F.struct("is_allow", "prefix"))
-             .alias("_rules")))
+    per_host = (rules.groupBy("host")
+                .agg(F.collect_list(F.struct("is_allow", "prefix"))
+                     .alias("_rules")))
+    if broadcast_rules:
+        per_host = F.broadcast(per_host)
     p = pages.select(F.col(id_col).alias("id"),
                      F.col(url_col).alias("_url"),
                      *[F.col(c) for c in keep_cols])

@@ -226,15 +226,21 @@ def bloom_summary(sketch: DataFrame, n_bits: int,
 
 def bloom_maybe_contains(df: DataFrame, key_col: str, sketch: DataFrame,
                          n_bits: int = 16384, k: int = 4,
-                         salt: str = "bloom") -> DataFrame:
+                         salt: str = "bloom",
+                         broadcast_sketch: bool = True) -> DataFrame:
     """(key, maybe_in) — probe every row's key against a
     ``bloom_sketch`` frame: true iff ALL k probe bits are set (no
     false negatives; false positives at ≈ fill^k).
 
-    Scale shape: the sketch (≤ ceil(n_bits/63) rows — kilobytes) is
-    broadcast; each key explodes into its k (word, mask) probes, one
-    BroadcastHashJoin, then a bool_and back onto the uniform key —
-    map-side combined, no skew.
+    Scale shape: the sketch (≤ ceil(n_bits/63) rows — kilobytes at
+    the default size) is broadcast; each key explodes into its k
+    (word, mask) probes, one BroadcastHashJoin, then a bool_and back
+    onto the uniform key — map-side combined, no skew.  A
+    10^12-URL seen-set needs ~10^13 bits (terabyte-class, not
+    broadcastable): pass ``broadcast_sketch=False`` and the probe
+    joins on the uniform ``word_idx`` key instead — the sketch side
+    shuffles once by word, the probe side k rows per key, both
+    partition-bounded; output identical (equality pinned by pytest).
     """
     pos = [F.pmod(hash60(F.concat_ws("␟", F.lit(f"{salt}{i}"),
                                      F.col(key_col).cast("string"))),
@@ -245,7 +251,8 @@ def bloom_maybe_contains(df: DataFrame, key_col: str, sketch: DataFrame,
                       F.expr("_pos div 63").alias("word_idx"),
                       F.expr("shiftleft(CAST(1 AS BIGINT), "
                              "CAST(_pos % 63 AS INT))").alias("_mask")))
-    joined = probes.join(F.broadcast(sketch), "word_idx", "left")
+    sk = F.broadcast(sketch) if broadcast_sketch else sketch
+    joined = probes.join(sk, "word_idx", "left")
     hit = (F.coalesce(F.col("bits"), F.lit(0))
            .bitwiseAND(F.col("_mask")) != 0)
     return (joined.groupBy("key")

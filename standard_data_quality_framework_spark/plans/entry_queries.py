@@ -3545,7 +3545,12 @@ def frontier_pipeline_q(spark, sf_dir):
     marked = webgraph.domain_blocklist_mark(pages, "id", "url_norm", bl,
                                             keep_cols=("url_norm",))
     surv1 = marked.where(~F.col("blocked")).select("id", "url_norm")
-    hosts = (surv1.select(host_of("url_norm").alias("host")).distinct()
+    # hosts for the robots fixture come from the CHEAP pages frame
+    # (scan + narrow projections), not from surv1 — deriving them
+    # post-blocklist would re-execute the broadcast-probe chain for a
+    # frame that only feeds the tiny rules parse (blocked hosts just
+    # add unused rule rows, semantics identical)
+    hosts = (pages.select(host_of("url_norm").alias("host")).distinct()
              .withColumn("robots", F.lit(_ROBOTS_TXT)))
     rules = (crawlplan.parse_robots(hosts, "host", "robots")
              .where(F.col("agent") == "*")
@@ -3557,6 +3562,12 @@ def frontier_pipeline_q(spark, sf_dir):
     surv3 = (dd.where(~F.col("is_dup"))
              .select("id", "url_norm",
                      host_of("url_norm").alias("host")))
+    # barrier: politeness_schedule consumes its input TWICE (rank
+    # window + per-(host, slice) counts); without a materialization
+    # point the whole blocklist→robots→dedup subtree executes twice
+    # (the curation-pipeline lesson). The checkpointed frame is slim
+    # (3 columns, post-dedup) and executor-local.
+    surv3 = surv3.localCheckpoint(eager=False)
     out = crawlplan.politeness_schedule(surv3, "host", "url_norm",
                                         per_cycle=5, n_slices=8)
     return out.select("id", "host", "url_norm", "rank_in_host", "cycle")

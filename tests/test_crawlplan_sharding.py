@@ -291,3 +291,28 @@ def test_score_drift_psi_empty_bin_clamped(spark):
            quality.score_drift_psi(a, b, "score").collect()}
     assert math.isclose(out[0].share_b, 1e-6)
     assert out[0].psi_term > 0 and math.isfinite(out[0].psi)
+
+
+def test_robots_mark_shuffled_equals_broadcast(spark):
+    rules = spark.createDataFrame(
+        [("h.com", False, "/private/"), ("h.com", True, "/private/pub/")],
+        "host string, is_allow boolean, prefix string")
+    pages = spark.createDataFrame(
+        [(i, f"https://h.com/private/{'pub/' if i % 2 else ''}p{i}")
+         for i in range(40)], "id long, url string")
+    a = crawlplan.robots_mark(pages, "id", "url", rules).collect()
+    b = crawlplan.robots_mark(pages, "id", "url", rules,
+                              broadcast_rules=False).collect()
+    key = lambda r: (r.id, r.host, r.path, r.matched_rule, r.allowed)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_bloom_probe_shuffled_equals_broadcast(spark):
+    from standard_data_quality_framework_spark.operators import sketches
+    sk = sketches.bloom_sketch(_keys(spark, 0, 150), "u", n_bits=4096)
+    probe = _keys(spark, 0, 300)
+    a = sketches.bloom_maybe_contains(probe, "u", sk, n_bits=4096)
+    b = sketches.bloom_maybe_contains(probe, "u", sk, n_bits=4096,
+                                      broadcast_sketch=False)
+    assert (sorted((r.key, r.maybe_in) for r in a.collect())
+            == sorted((r.key, r.maybe_in) for r in b.collect()))
