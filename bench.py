@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "frontier_pipeline_documents",
     "bloom_membership_documents",
     "score_drift_psi_documents",
+    "sequence_packing_documents",
 ]
 
 

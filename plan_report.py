@@ -112,8 +112,9 @@ AUDIT = [
     # the ≤ n_bins bin frame
     ("pr_curve_documents",
      ["Window", r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
-    # frontier composition: blocklist + robots probes stay broadcast
-    ("frontier_pipeline_documents", ["BroadcastHashJoin", "Window"]),
+    # frontier composition: the FINAL frame is politeness-only (the
+    # barrier hides the upstream half — asserted separately below)
+    ("frontier_pipeline_documents", ["Window"]),
     # bloom probe: kilobyte sketch broadcast, bool_and map-side combined
     ("bloom_membership_documents",
      ["BroadcastHashJoin",
@@ -121,6 +122,8 @@ AUDIT = [
     # PSI: two ≤ n_bins bin frames, broadcast-stitched totals
     ("score_drift_psi_documents",
      [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # packing: same segmented-scan shape as sharding
+    ("sequence_packing_documents", ["Window", "BroadcastHashJoin"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -152,6 +155,8 @@ FORBID_EXTRA = [
     ("frontier_pipeline_documents", ["CartesianProduct",
                                      "BroadcastNestedLoopJoin"]),
     ("bloom_membership_documents",
+     ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
+    ("sequence_packing_documents",
      ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
 ]
 
@@ -267,7 +272,7 @@ def main() -> None:
     #   pre-barrier  = verdict md5 exchange pair (min-url agg + probe)
     #   post-barrier = quota per-source count agg + quota window
     from standard_data_quality_framework_spark.plans.entry_queries import (
-        _curation_frames)
+        _curation_frames, _frontier_frames)
     cur_pre, cur_final = _curation_frames(spark, sf_dir)
 
     def _count_exchanges(plan: str) -> int:
@@ -279,17 +284,33 @@ def main() -> None:
         ids |= set(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", plan))
         return len(ids)
 
-    for tag, frame, want in [("pre-barrier", cur_pre, 2),
-                             ("post-barrier", cur_final, 2)]:
+    # frontier composition: same two-half treatment. Pre-barrier = 2
+    # tiny robots-parse exchanges + url_dedup's agg+join pair (the
+    # page-side blocklist/robots probes are broadcast — BHJ asserted);
+    # post-barrier = politeness rank window + counts agg + offset
+    # window + the rank⋈offset stitch.
+    fr_pre, fr_final = _frontier_frames(spark, sf_dir)
+    for name, tag, frame, want, bhj in [
+            ("curation_pipeline_documents", "pre-barrier", cur_pre, 2,
+             None),
+            ("curation_pipeline_documents", "post-barrier", cur_final, 2,
+             None),
+            ("frontier_pipeline_documents", "pre-barrier", fr_pre, 4,
+             True),
+            ("frontier_pipeline_documents", "post-barrier", fr_final, 4,
+             None)]:
         buf = io.StringIO()
         with redirect_stdout(buf):
             frame.explain("formatted")
         plan = _final_section(buf.getvalue())
-        sections.append((f"curation_pipeline_documents {tag}", plan))
+        sections.append((f"{name} {tag}", plan))
         n = _count_exchanges(plan)
-        checks.append((f"curation_pipeline_documents {tag}",
+        checks.append((f"{name} {tag}",
                        f"data Exchanges = {n} (want exactly {want})",
                        n == want))
+        if bhj:
+            checks.append((f"{name} {tag}", "BroadcastHashJoin",
+                           "BroadcastHashJoin" in plan))
 
     # full pipeline plan
     p = os.path.join(tempfile.mkdtemp(), "pages.parquet")

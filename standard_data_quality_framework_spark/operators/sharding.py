@@ -88,3 +88,57 @@ def shard_manifest(sharded: DataFrame, bytes_col: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.col(bytes_col).cast("long"))
                  .alias("shard_bytes")))
+
+
+def sequence_packing(df: DataFrame, id_col: str, tokens_col: str,
+                     context_len: int, n_slices: int = 64,
+                     salt: str = "pack") -> DataFrame:
+    """Input plus (start_token, seq_idx, offset_in_seq, n_seqs_spanned)
+    — the GPT-style pack-and-chunk plan: documents are concatenated in
+    salted-hash order and the token stream is cut every
+    ``context_len`` tokens, so every document knows which training
+    sequence(s) it lands in and at what offset.  The deterministic
+    hash order makes each sequence an unbiased document mix (no
+    same-source runs) and the plan reproducible across runs and
+    engines — the loader can materialize any sequence independently.
+
+    seq_idx = start_token div context_len; offset_in_seq = start_token
+    mod context_len; n_seqs_spanned counts the boundary crossings
+    (a doc longer than its sequence remainder continues into the next
+    sequence(s), standard causal-LM packing with cross-doc attention
+    masking left to the loader).
+
+    Scale shape: identical to ``size_balanced_shards`` — an exact
+    global running sum of token counts via the segmented prefix scan
+    (bounded per-slice windows + one ``n_slices``-row offset window),
+    all integer math.
+    """
+    width = -(-_BUCKETS // n_slices)  # ceil
+    b = _bucket(F.col(id_col), salt)
+    d = (df.withColumn("_b", b)
+         .withColumn("_slice", F.floor(F.col("_b") / width)))
+    w_in = (Window.partitionBy("_slice").orderBy("_b", id_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    run = d.withColumn(
+        "_run", F.sum(F.col(tokens_col).cast("long")).over(w_in))
+    totals = d.groupBy("_slice").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_tot"))
+    w_off = (Window.orderBy("_slice")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "_slice",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"))
+    L = int(context_len)
+    out = (run.join(F.broadcast(offs), "_slice")
+           .withColumn("start_token",
+                       F.col("_off") + F.col("_run")
+                       - F.col(tokens_col).cast("long"))
+           .withColumn("seq_idx", F.expr(f"start_token div {L}"))
+           .withColumn("offset_in_seq",
+                       F.pmod(F.col("start_token"), F.lit(L)))
+           # last token of the doc sits at start+n-1; empty docs span 1
+           .withColumn(
+               "n_seqs_spanned",
+               F.expr(f"(start_token + greatest({tokens_col}, 1) - 1) "
+                      f"div {L}") - F.col("seq_idx") + 1))
+    return out.drop("_b", "_slice", "_run", "_off")

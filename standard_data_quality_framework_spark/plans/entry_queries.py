@@ -3521,6 +3521,13 @@ def frontier_pipeline_q(spark, sf_dir):
     collisions create real URL-dup clusters; survivors get exact
     per-host fetch ranks. Stages chain via keep_cols passthrough —
     no join-backs."""
+    return _frontier_frames(spark, sf_dir)[1]
+
+
+def _frontier_frames(spark, sf_dir):
+    """(pre_barrier, final) — the frontier DAG split at its
+    materialization barrier so the plan audit can assert BOTH halves
+    (the barrier hides the upstream plan behind an RDD scan)."""
     from ..functions.urlnorm import host_of, normalize_url
     docs = _t(spark, sf_dir, "documents")
     mhost = (F.when(F.col("doc_id") % 11 == 0,
@@ -3567,10 +3574,11 @@ def frontier_pipeline_q(spark, sf_dir):
     # point the whole blocklist→robots→dedup subtree executes twice
     # (the curation-pipeline lesson). The checkpointed frame is slim
     # (3 columns, post-dedup) and executor-local.
-    surv3 = surv3.localCheckpoint(eager=False)
-    out = crawlplan.politeness_schedule(surv3, "host", "url_norm",
+    barrier = surv3.localCheckpoint(eager=False)
+    out = crawlplan.politeness_schedule(barrier, "host", "url_norm",
                                         per_cycle=5, n_slices=8)
-    return out.select("id", "host", "url_norm", "rank_in_host", "cycle")
+    return surv3, out.select("id", "host", "url_norm", "rank_in_host",
+                             "cycle")
 
 
 _BLOOM_URL_SQL = ("'https://' || source || '.example.com/p/' || "
@@ -3690,3 +3698,42 @@ def score_drift_psi_q(spark, sf_dir):
     a = docs.select(score.alias("score"))
     b = docs.select((score * F.lit(0.8) + F.lit(0.1)).alias("score"))
     return quality.score_drift_psi(a, b, "score", n_bins=10)
+
+
+@register("sequence_packing_documents", f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_tokens, {_bucket_sql('doc_id', 'pack')} AS b FROM tk
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY b, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM d
+),
+s AS (SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS st
+      FROM r)
+SELECT doc_id, n_tokens, st AS start_token,
+       CAST(st // 512 AS BIGINT) AS seq_idx,
+       CAST(st % 512 AS BIGINT) AS offset_in_seq,
+       CAST((st + greatest(n_tokens, 1) - 1) // 512 - st // 512 + 1
+            AS BIGINT) AS n_seqs_spanned
+FROM s
+""")
+def sequence_packing_q(spark, sf_dir):
+    """Pack-and-chunk plan over whitespace token counts: documents
+    concatenate in salted-hash order and cut every 512 tokens; multi-
+    hundred-token docs regularly span sequence boundaries, exercising
+    the n_seqs_spanned math."""
+    tk = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    return sharding.sequence_packing(tk, "doc_id", "n_tokens",
+                                     context_len=512, n_slices=8)

@@ -316,3 +316,22 @@ def test_bloom_probe_shuffled_equals_broadcast(spark):
                                       broadcast_sketch=False)
     assert (sorted((r.key, r.maybe_in) for r in a.collect())
             == sorted((r.key, r.maybe_in) for r in b.collect()))
+
+
+def test_sequence_packing_hand_math(spark):
+    docs = spark.range(50).select(
+        F.col("id"), (F.pmod(F.col("id") * 97, F.lit(300)) + 1)
+        .alias("ntok"))
+    out = sharding.sequence_packing(docs, "id", "ntok",
+                                    context_len=128, n_slices=4)
+    rows = sorted(out.collect(), key=lambda r: r.start_token)
+    # starts are the exclusive prefix sum of token counts in pack order
+    cum = 0
+    for r in rows:
+        assert r.start_token == cum
+        assert r.seq_idx == r.start_token // 128
+        assert r.offset_in_seq == r.start_token % 128
+        end = r.start_token + max(r.ntok, 1) - 1
+        assert r.n_seqs_spanned == end // 128 - r.seq_idx + 1
+        cum += r.ntok
+    assert any(r.n_seqs_spanned > 1 for r in rows)  # boundary crossers
