@@ -158,10 +158,10 @@ langid/perplexity/repetition UDF → verdict dedup agg+join → scrub) on the SA
 best-of-{rounds} with leftover-process drain + {COOLDOWN_S}s cool-down
 before every sample:
 
-| run | parallelism | input | docs/sec | sec | scaling efficiency vs local[8] |
+| run | parallelism | input | docs/sec | sec | scaling efficiency vs local[{CORES_LO}] |
 |---|---|---|---|---|---|
-| quality_filter | local[8]  | pages n={n_pages:,} (seed 42) | {report['lo_docs_per_sec']} | {report['lo_sec']} | 1.00 (base) |
-| quality_filter | local[32] | pages n={n_pages:,} (seed 42) | {report['hi_docs_per_sec']} | {report['hi_sec']} | {report['scaling_efficiency']} (target ≥ 0.8) |
+| quality_filter | local[{CORES_LO}]  | pages n={n_pages:,} (seed 42) | {report['lo_docs_per_sec']} | {report['lo_sec']} | 1.00 (base) |
+| quality_filter | local[{CORES_HI}] | pages n={n_pages:,} (seed 42) | {report['hi_docs_per_sec']} | {report['hi_sec']} | {report['scaling_efficiency']} (target ≥ 0.8) |
 
 ## Hardware envelope caveat (measured, reproducible)
 
