@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "bloom_membership_documents",
     "score_drift_psi_documents",
     "sequence_packing_documents",
+    "warc_offset_index_documents",
+    "recrawl_queue_events",
 ]
 
 

@@ -124,6 +124,14 @@ AUDIT = [
      [r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
     # packing: same segmented-scan shape as sharding
     ("sequence_packing_documents", ["Window", "BroadcastHashJoin"]),
+    # CDX offsets: sharding's segmented scan + ONE window whose
+    # partitions are bounded by construction (the shard id)
+    ("warc_offset_index_documents", ["Window", "BroadcastHashJoin"]),
+    # recrawl queue: revisit window/agg + broadcast bloom probe +
+    # uniform-url verdict join
+    ("recrawl_queue_events",
+     ["Window", "BroadcastHashJoin",
+      r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -158,6 +166,10 @@ FORBID_EXTRA = [
      ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
     ("sequence_packing_documents",
      ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
+    ("warc_offset_index_documents",
+     ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
+    ("recrawl_queue_events",
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the

@@ -270,3 +270,38 @@ def revisit_policy(history: DataFrame, url_col: str, ts_col: str,
         (F.col("_e1")
          + F.floor(interval * 86400 + F.lit(0.5)).cast("long"))
         .alias("next_fetch_epoch"))
+
+
+def recrawl_queue(policy: DataFrame, seen_sketch: DataFrame,
+                  now_epoch: int, n_bits: int = 16384, k: int = 4,
+                  salt: str = "bloom",
+                  broadcast_sketch: bool = True) -> DataFrame:
+    """(url, n_changes, next_fetch_epoch, overdue_secs) — the recrawl
+    work queue: URLs from a ``revisit_policy`` frame whose interval
+    has elapsed at ``now_epoch`` AND that are not already in the
+    enqueued-set Bloom sketch (``sketches.bloom_sketch`` over the
+    URLs dispatched this cycle).  The two operators compose into the
+    incremental crawler's dispatch step: freshness decides WHO is
+    due, the rotating Bloom filter keeps a URL from being enqueued
+    twice while a previous fetch is still in flight.  Bloom false
+    positives DELAY a URL one rotation (safe); false negatives are
+    impossible, so nothing is enqueued twice.
+
+    Scale shape: the due filter is narrow; the membership probe is
+    ``bloom_maybe_contains``'s broadcast-join (or, for a
+    terabyte-class sketch, ``broadcast_sketch=False`` word-keyed
+    join); the verdict joins back on the uniform url key — every
+    shuffle key here is either the bounded filter word space or the
+    uniform url, no skew at any corpus size.
+    """
+    from .sketches import bloom_maybe_contains
+    now = F.lit(int(now_epoch)).cast("long")
+    due = policy.where(F.col("next_fetch_epoch") <= now)
+    probe = bloom_maybe_contains(
+        due.select("url"), "url", seen_sketch, n_bits=n_bits, k=k,
+        salt=salt, broadcast_sketch=broadcast_sketch)
+    return (due.join(probe.withColumnRenamed("key", "url"), "url")
+            .where(~F.col("maybe_in"))
+            .select("url", "n_changes", "next_fetch_epoch",
+                    (now - F.col("next_fetch_epoch"))
+                    .alias("overdue_secs")))

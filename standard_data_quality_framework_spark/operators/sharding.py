@@ -90,6 +90,34 @@ def shard_manifest(sharded: DataFrame, bytes_col: str) -> DataFrame:
                  .alias("shard_bytes")))
 
 
+def warc_offset_index(sharded: DataFrame, id_col: str, bytes_col: str,
+                      shard_col: str = "shard",
+                      salt: str = "shard") -> DataFrame:
+    """Input (a ``size_balanced_shards`` output) plus ``offset`` — the
+    byte position of every record inside its shard file, in the same
+    (salted id-hash bucket, id) order the shard was assigned in.
+    (shard, offset, length) is the CDX-style record index a web
+    archive serves: a reader range-requests one record out of a
+    multi-GB WARC/shard without scanning it, the standard access path
+    for CommonCrawl-shaped corpora.
+
+    Scale shape: ONE window partitioned by the shard id.  Partitions
+    are bounded BY CONSTRUCTION — a shard holds ~target_bytes of
+    payload (a knob), so unlike a per-host or per-content-hash window
+    no input distribution can create a hot key; the running sum is
+    integer-exact, so the oracle matches bit-for-bit.  ``salt`` must
+    match the one the shards were assigned with, or the within-shard
+    order (and therefore every offset) is undefined.
+    """
+    b = _bucket(F.col(id_col), salt)
+    w = (Window.partitionBy(shard_col).orderBy(b, id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return sharded.withColumn(
+        "offset",
+        F.coalesce(F.sum(F.col(bytes_col).cast("long")).over(w),
+                   F.lit(0).cast("long")))
+
+
 def sequence_packing(df: DataFrame, id_col: str, tokens_col: str,
                      context_len: int, n_slices: int = 64,
                      salt: str = "pack") -> DataFrame:

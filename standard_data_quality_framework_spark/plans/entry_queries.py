@@ -3737,3 +3737,126 @@ def sequence_packing_q(spark, sf_dir):
         .alias("n_tokens"))
     return sharding.sequence_packing(tk, "doc_id", "n_tokens",
                                      context_len=512, n_slices=8)
+
+
+@register("warc_offset_index_documents", f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_bucket_sql('doc_id', 'shard')} AS b
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, b,
+         sum(CAST(n_chars AS BIGINT))
+           OVER (ORDER BY b, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+),
+s AS (
+  SELECT doc_id, n_chars, b,
+         CAST((cum - n_chars) // 40000 AS BIGINT) AS shard
+  FROM r
+)
+SELECT doc_id, n_chars, shard,
+       CAST(coalesce(sum(CAST(n_chars AS BIGINT))
+              OVER (PARTITION BY shard ORDER BY b, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS offset
+FROM s
+""")
+def warc_offset_index_q(spark, sf_dir):
+    """CDX-style (shard, offset, length) record index over the
+    40 kB size-balanced shards: every document's byte offset inside
+    its shard file, windowed only by the bounded-by-construction
+    shard id; the oracle replays the same cumsum with one global
+    window."""
+    out = sharding.size_balanced_shards(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", target_bytes=40000, n_slices=8)
+    out = sharding.warc_offset_index(out, "doc_id", "n_chars")
+    return out.select("doc_id", "n_chars", "shard", "offset")
+
+
+_RECRAWL_NOW = 1708387200  # 2024-02-20 UTC — inside the events horizon
+
+
+@register("recrawl_queue_events", f"""
+WITH f AS (
+  SELECT {_REVISIT_URL_SQL} AS url, ts, md5(event_type) AS h, event_id
+  FROM events
+),
+c AS (
+  SELECT url, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         CASE WHEN lag(h) OVER w IS NOT NULL
+                   AND lag(h) OVER w <> h THEN 1 ELSE 0 END AS chg
+  FROM f WINDOW w AS (PARTITION BY url ORDER BY ts, event_id)
+),
+a AS (
+  SELECT url, count(*) AS n_fetches,
+         CAST(sum(chg) AS BIGINT) AS n_changes,
+         min(e) AS e0, max(e) AS e1
+  FROM c GROUP BY url
+),
+a2 AS (
+  SELECT url, n_changes, e1,
+         CASE WHEN n_changes = 0 THEN 45.0
+              ELSE least(45.0, greatest(2.0,
+                         ((e1 - e0) / 86400.0) / n_changes)) END AS itv
+  FROM a
+),
+pol AS (
+  SELECT url, n_changes,
+         e1 + CAST(floor(itv * 86400 + 0.5) AS BIGINT)
+           AS next_fetch_epoch
+  FROM a2
+),
+due AS (
+  SELECT * FROM pol WHERE next_fetch_epoch <= {_RECRAWL_NOW}
+),
+seedp AS (
+  SELECT unnest({_bloom_pos_sql('url', 8192)}) AS p
+  FROM (SELECT {_REVISIT_URL_SQL} AS url FROM events
+        WHERE event_id % 7 = 0) sd
+),
+sk AS (
+  SELECT p // 63 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM seedp GROUP BY 1
+),
+pr AS (
+  SELECT url AS key, unnest({_bloom_pos_sql('url', 8192)}) AS p
+  FROM due
+),
+pw AS (
+  SELECT key, p // 63 AS word_idx,
+         CAST(1 AS BIGINT) << CAST(p % 63 AS INT) AS mask
+  FROM pr
+),
+j AS (
+  SELECT pw.key, (coalesce(sk.bits, 0) & pw.mask) <> 0 AS hit
+  FROM pw LEFT JOIN sk USING (word_idx)
+),
+m AS (SELECT key AS url, bool_and(hit) AS maybe_in FROM j GROUP BY 1)
+SELECT due.url, due.n_changes, due.next_fetch_epoch,
+       {_RECRAWL_NOW} - due.next_fetch_epoch AS overdue_secs
+FROM due JOIN m USING (url)
+WHERE NOT maybe_in
+""")
+def recrawl_queue_q(spark, sf_dir):
+    """revisit_policy × Bloom composition: URLs due for re-fetch at a
+    fixed 'now' (2024-02-20, inside the events horizon) minus those
+    already in the enqueued-set sketch (every 7th event's URL) — the
+    incremental crawler's dispatch queue, bit-identical across
+    engines because both the intervals and the filter are exact
+    integer math."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("https://h"),
+                 (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example.com/p"),
+                 (F.col("event_id") % 60).cast("string")).alias("url"),
+        "ts", F.md5("event_type").alias("h"), "event_id")
+    pol = crawlplan.revisit_policy(ev, "url", "ts", "h", "event_id",
+                                   min_days=2.0, max_days=45.0)
+    seed = ev.where(F.col("event_id") % 7 == 0).select("url")
+    sk = sketches.bloom_sketch(seed, "url", n_bits=8192, k=4)
+    return crawlplan.recrawl_queue(pol, sk, now_epoch=_RECRAWL_NOW,
+                                   n_bits=8192, k=4)

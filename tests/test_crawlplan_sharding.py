@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from standard_data_quality_framework_spark.operators import (
-    crawlplan, quality, sharding)
+    crawlplan, quality, sharding, sketches)
 from standard_data_quality_framework_spark.operators.sampling import _bucket
 
 ROBOTS = ("# policy\n"
@@ -335,3 +335,53 @@ def test_sequence_packing_hand_math(spark):
         assert r.n_seqs_spanned == end // 128 - r.seq_idx + 1
         cum += r.ntok
     assert any(r.n_seqs_spanned > 1 for r in rows)  # boundary crossers
+
+
+def test_warc_offset_index_exact(spark):
+    docs = spark.range(300).select(
+        F.col("id"), (F.pmod(F.col("id") * 131, F.lit(900)) + 100)
+        .alias("nbytes"))
+    sh = sharding.size_balanced_shards(docs, "id", "nbytes",
+                                       target_bytes=5000, n_slices=8)
+    got = sharding.warc_offset_index(sh, "id", "nbytes")
+    rows = (got.withColumn("_b", _bucket(F.col("id"), "shard"))
+            .collect())
+    # independent reference: walk the global (bucket, id) order and
+    # accumulate per-shard byte cursors in plain Python
+    rows.sort(key=lambda r: (r._b, r.id))
+    cursor = {}
+    for r in rows:
+        assert r.offset == cursor.get(r.shard, 0), (r.id, r.shard)
+        cursor[r.shard] = cursor.get(r.shard, 0) + r.nbytes
+    # offsets tile each shard exactly: final cursor == shard payload
+    man = {m.shard: m.shard_bytes
+           for m in sharding.shard_manifest(sh, "nbytes").collect()}
+    assert cursor == man
+
+
+def test_recrawl_queue_hand_planted(spark):
+    day = 86400
+    rows = [
+        # A changes every visit -> interval 2d, next = 6d (due at 10d)
+        ("A", 0, "a1", 1), ("A", 2 * day, "a2", 2), ("A", 4 * day, "a3", 3),
+        # B never changes -> interval 45d, next = 49d (NOT due)
+        ("B", 0, "x", 4), ("B", 4 * day, "x", 5),
+        # C due like A, but already enqueued (in the Bloom seed)
+        ("C", 0, "c1", 6), ("C", 2 * day, "c2", 7), ("C", 4 * day, "c3", 8),
+    ]
+    hist = spark.createDataFrame(
+        rows, "url string, e long, h string, id long").select(
+        "url", F.timestamp_seconds("e").alias("ts"), "h", "id")
+    pol = crawlplan.revisit_policy(hist, "url", "ts", "h", "id",
+                                   min_days=2.0, max_days=45.0)
+    seed = spark.createDataFrame([("C",)], "url string")
+    sk = sketches.bloom_sketch(seed, "url", n_bits=256, k=4)
+    out = crawlplan.recrawl_queue(pol, sk, now_epoch=10 * day,
+                                  n_bits=256, k=4).collect()
+    assert [(r.url, r.n_changes, r.next_fetch_epoch, r.overdue_secs)
+            for r in out] == [("A", 2, 6 * day, 4 * day)]
+    # non-broadcast probe path produces the identical queue
+    out2 = crawlplan.recrawl_queue(pol, sk, now_epoch=10 * day,
+                                   n_bits=256, k=4,
+                                   broadcast_sketch=False).collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
