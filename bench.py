@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q8_market_share",
     "curation_pipeline_documents",
     "decontaminate_documents",
+    "dsir_select_documents",
     "line_dedup_documents",
     "url_dedup_documents",
     "host_stats_documents",

@@ -129,6 +129,117 @@ def quality_stratified_sample(df: DataFrame, id_col: str,
                     .cast("long")))
 
 
+def _dsir_features(df: DataFrame, id_col: str, text_col: str,
+                   n_buckets: int) -> DataFrame:
+    """(id, _fb: array<long>) — hashed unigram+bigram feature buckets
+    per doc, as a MULTISET (occurrence counts matter for DSIR), built
+    row-local: no explode, no shuffle, memory bounded by the token
+    count the row already carries. Bucket = hash60(gram) mod
+    ``n_buckets`` — the cross-engine md5-prefix hash, so the oracle
+    computes the identical feature vector."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # when() guard, not a filter: the optimizer may evaluate this
+    # projection below a pushed filter, and slice throws on short rows
+    bigrams = (F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))))
+        .otherwise(F.array().cast("array<string>")))
+    buckets = F.transform(
+        F.concat(toks, bigrams),
+        lambda g: F.pmod(hash60(g), F.lit(n_buckets)))
+    return (df.select(F.col(id_col).alias("id"), buckets.alias("_fb"))
+            .filter(F.size("_fb") > 0))
+
+
+_DSIR_SCALE = 1_000_000
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
+                    text_col: str, n_buckets: int = 512,
+                    raw_dist_frac: float = 1.0,
+                    salt: str = "dsirdist") -> DataFrame:
+    """(id, logweight) — DSIR importance log-weight per raw doc
+    (Data Selection via Importance Resampling, Xie et al. 2023,
+    public): fit bag-of-hashed-ngram unigram+bigram distributions on
+    the target set and the raw corpus, then score every raw doc by
+    log wᵢ = Σ_occurrences [ln p̂_target(f) − ln p̂_raw(f)] with
+    add-one smoothing. Recasts the reference's cross-dataset
+    representativity checks (quality_checks.py:25-43 population
+    comparison) onto the train-data-selection axis, the same way
+    decontaminate_documents recasts its membership checks.
+
+    Determinism/oracle parity: per-bucket log-ratios are fixed to the
+    1e-6 grid via floor(x·1e6 + 0.5) (exact in both engines), per-doc
+    weights are exact BIGINT sums of those scaled ratios (the
+    cents-sum trick — no float accumulation-order drift), divided
+    back once at the end.
+
+    Scale shape: feature vectors are row-local; BOTH distribution
+    fits ride ONE union-tagged map-side-combined groupBy onto
+    ≤ ``n_buckets`` uniform keys (not two lineages that would rescan
+    the corpus), the totals ride a single-partition window over that
+    ≤ ``n_buckets``-row aggregate (zero extra scans), and the ratio
+    table is BROADCAST onto the exploded raw features; the per-doc
+    sum is the one corpus-scale shuffle (uniform doc-id keys,
+    partially aggregated map-side). The raw text is read exactly
+    twice — once for the fit, once for the scoring pass.
+    At 10^12 docs fit the raw distribution on a sample, FAISS-style:
+    ``raw_dist_frac < 1`` routes the fit through ``hash_sample`` (the
+    deterministic salted-hash Bernoulli), while scoring stays
+    full-corpus — same sample-the-fit/assign-everything split as
+    ``ivf_centroids_kmeans(train_frac=...)``. (Buckets the sampled
+    fit never saw have no ratio row and contribute 0 to a doc's
+    weight; with a full fit every scored bucket is covered.)
+    """
+    raw_feats = _dsir_features(raw, id_col, text_col, n_buckets)
+    fit_feats = raw_feats if raw_dist_frac >= 1.0 else _dsir_features(
+        hash_sample(raw, id_col, raw_dist_frac, salt),
+        id_col, text_col, n_buckets)
+    tagged = (fit_feats
+              .select(F.explode("_fb").alias("bucket"),
+                      F.lit(0).alias("_tag"))
+              .unionAll(
+                  _dsir_features(target, id_col, text_col, n_buckets)
+                  .select(F.explode("_fb").alias("bucket"),
+                          F.lit(1).alias("_tag"))))
+    counts = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tag") == 0, 1).otherwise(0)).alias("_r"),
+        F.sum("_tag").alias("_t"))
+    w = Window.partitionBy()
+    b = F.lit(float(n_buckets))
+    ratio = (counts
+             .select("bucket", "_r", "_t",
+                     F.sum("_t").over(w).alias("_nt"),
+                     F.sum("_r").over(w).alias("_nr"))
+             .select(
+                 "bucket",
+                 F.floor((F.log(F.col("_t") + 1)
+                          - F.log(F.col("_nt") + b)
+                          - F.log(F.col("_r") + 1)
+                          + F.log(F.col("_nr") + b))
+                         * _DSIR_SCALE + 0.5)
+                 .cast("long").alias("_lr")))
+    return (raw_feats.select("id", F.explode("_fb").alias("bucket"))
+            .join(F.broadcast(ratio), "bucket")
+            .groupBy("id")
+            .agg(F.round(F.sum("_lr") / F.lit(float(_DSIR_SCALE)), 6)
+                 .alias("logweight")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, k: int, n_buckets: int = 512,
+                raw_dist_frac: float = 1.0) -> DataFrame:
+    """Top-``k`` raw docs by DSIR importance weight (ties broken by
+    id, so the selected SET is deterministic). The no-noise variant of
+    DSIR's Gumbel top-k — RNG-free for the same reproducibility reason
+    every sampler in this module is hash-based. orderBy+limit plans as
+    TakeOrderedAndProject (per-partition heaps, k·P merge — no global
+    sort), the scale-correct distributed top-k for k ≪ N."""
+    w = dsir_logweights(raw, target, id_col, text_col, n_buckets,
+                        raw_dist_frac)
+    return w.orderBy(F.desc("logweight"), "id").limit(k)
+
+
 def domain_quota_sample(df: DataFrame, domain_col: str, id_col: str,
                         quota: int, oversample: float = 2.0,
                         salt: str = "quota") -> DataFrame:

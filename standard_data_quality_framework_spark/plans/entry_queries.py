@@ -3860,3 +3860,51 @@ def recrawl_queue_q(spark, sf_dir):
     sk = sketches.bloom_sketch(seed, "url", n_bits=8192, k=4)
     return crawlplan.recrawl_queue(pol, sk, now_epoch=_RECRAWL_NOW,
                                    n_bits=8192, k=4)
+
+
+@register("dsir_select_documents", f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+feats AS (
+  SELECT doc_id, lang, {hash60_sql('g')} % 512 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+tc AS (SELECT bucket, count(*) AS n FROM feats WHERE lang = 'en'
+       GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS n FROM feats GROUP BY bucket),
+lr AS (
+  SELECT rc.bucket,
+         CAST(floor((ln(coalesce(tc.n, 0) + 1) - ln(tt.nt + 512.0)
+                     - ln(rc.n + 1) + ln(rt.nr + 512.0))
+                    * 1000000 + 0.5) AS BIGINT) AS lr
+  FROM rc LEFT JOIN tc USING (bucket),
+       (SELECT sum(n) AS nt FROM tc) tt,
+       (SELECT sum(n) AS nr FROM rc) rt
+),
+w AS (
+  SELECT f.doc_id AS id,
+         round(sum(l.lr) / 1000000.0, 6) AS logweight
+  FROM feats f JOIN lr l USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT id, logweight FROM w ORDER BY logweight DESC, id LIMIT 200
+""")
+def dsir_select_q(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): score every doc by the
+    hashed-ngram importance log-weight toward the English slice (the
+    deterministic stand-in for a high-quality target set) and keep the
+    top 200 — the no-noise variant of DSIR's Gumbel top-k. Per-bucket
+    log-ratios snap to the 1e-6 grid and per-doc weights are exact
+    BIGINT sums, so both engines agree bit-for-bit."""
+    from ..operators.sampling import dsir_select
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(d, d.filter(F.col("lang") == "en"),
+                       "doc_id", "text", k=200, n_buckets=512)

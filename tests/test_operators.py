@@ -894,3 +894,35 @@ def test_host_concentration_hand_computed(spark):
     assert out.to_dict("records") == [
         {"n_docs": 6, "n_hosts": 3, "hhi": 0.388889,
          "effective_hosts": 2.571, "top2_share": 0.833333}]
+
+
+def test_dsir_weights_planted_affinity_and_determinism(spark):
+    from standard_data_quality_framework_spark.operators.sampling import (
+        dsir_logweights, dsir_select)
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta") for i in range(20)],
+        "id long, text string")
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(30)]
+        + [(100 + i, "zork quux blorp frobnitz wibble") for i in range(30)],
+        "id long, text string")
+    w = dsir_logweights(raw, target, "id", "text").toPandas()
+    assert len(w) == 60
+    by_id = dict(zip(w["id"], w["logweight"]))
+    # every target-like doc outweighs every junk doc
+    assert min(by_id[i] for i in range(30)) > \
+        max(by_id[100 + i] for i in range(30))
+    # partitioning-invariant (pure function of the data)
+    w2 = (dsir_logweights(raw.repartition(13), target.repartition(7),
+                          "id", "text").toPandas())
+    assert dict(zip(w2["id"], w2["logweight"])) == by_id
+    # sample-fitted raw distribution: same ordering property
+    w3 = dsir_logweights(raw, target, "id", "text",
+                         raw_dist_frac=0.5).toPandas()
+    b3 = dict(zip(w3["id"], w3["logweight"]))
+    assert min(b3[i] for i in range(30)) > \
+        max(b3[100 + i] for i in range(30))
+    # top-k selection = the k largest weights, ties by id
+    sel = dsir_select(raw, target, "id", "text", k=10).toPandas()
+    expect = sorted(by_id, key=lambda i: (-by_id[i], i))[:10]
+    assert sorted(sel["id"]) == sorted(expect)
