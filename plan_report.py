@@ -132,6 +132,11 @@ AUDIT = [
     ("recrawl_queue_events",
      ["Window", "BroadcastHashJoin",
       r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
+    # DSIR: union-tagged partial-agg'd fit, broadcast ratio table,
+    # TakeOrdered top-k (never a global Sort)
+    ("dsir_select_documents",
+     ["BroadcastHashJoin", "TakeOrderedAndProject", "Union",
+      r"HashAggregate(.|\n)*Exchange(.|\n)*HashAggregate"]),
 ]
 
 # plans that must NOT contain a Window sort (skew-safe agg+join shape)
@@ -170,6 +175,10 @@ FORBID_EXTRA = [
      ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]),
     ("recrawl_queue_events",
      ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # every DSIR join must be broadcast (ratio table ≤ n_buckets rows)
+    ("dsir_select_documents",
+     ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", r"\(\d+\) Sort"]),
 ]
 
 # plans that must NOT contain a cartesian/nested-loop product — the
@@ -221,6 +230,10 @@ COUNTED = [
     # sharding: slice cumsum window + per-slice totals agg +
     # single-partition offsets window (n_slices rows)
     ("size_balanced_shards_documents", r"\(\d+\) Exchange", 3),
+    # DSIR: fit groupBy(bucket) + single-partition totals window over
+    # the ≤ n_buckets-row aggregate + per-doc groupBy(id) — a fourth
+    # Exchange would mean the fit or scoring side started rescanning
+    ("dsir_select_documents", r"\(\d+\) Exchange", 3),
 ]
 
 
