@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "curation_pipeline_documents",
     "decontaminate_documents",
     "dsir_select_documents",
+    "mixture_resample_documents",
     "line_dedup_documents",
     "url_dedup_documents",
     "host_stats_documents",

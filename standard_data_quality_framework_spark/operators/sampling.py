@@ -85,6 +85,49 @@ def balanced_resample(df: DataFrame, class_col: str, id_col: str,
             .drop("_rate"))
 
 
+def mixture_resample(df: DataFrame, class_col: str, id_col: str,
+                     target_shares: dict[str, float],
+                     salt: str = "mixture") -> DataFrame:
+    """Downsample classes so the KEPT corpus matches a target mixture
+    (the domain/language-mixing step of LLM data curation, DoReMi-
+    style targets applied by downsampling only — no upsampling, no
+    RNG). Generalizes ``balanced_resample`` (whose implicit target is
+    the uniform mixture) to arbitrary shares; classes absent from
+    ``target_shares`` (or with share 0) are dropped.
+
+    With K = min_c n_c / s_c — the largest kept total every class can
+    support without upsampling — each class keeps
+    rate_c = min(1, K·s_c / n_c) of its rows via the salted id hash,
+    so E[kept_c] = K·s_c and the kept mixture hits the target exactly
+    in expectation, with at least one class kept whole.
+
+    Scale shape: one tiny map-side-combined class count, the rate
+    frame broadcast back onto a narrow filter — identical to
+    ``balanced_resample``. Returns kept rows with (target_share,
+    keep_rate) attached, both rounded to 6 decimals for display
+    (the filter uses the full-precision rate).
+    """
+    total = float(sum(target_shares.values()))
+    shares = {c: v / total for c, v in target_shares.items()}
+    smap = F.create_map(
+        *[F.lit(x) for cv in shares.items() for x in cv])
+    counts = (df.groupBy(class_col).agg(F.count("*").alias("_n"))
+              .withColumn("_s", smap[F.col(class_col)])
+              .filter(F.col("_s").isNotNull() & (F.col("_s") > 0)))
+    k = counts.agg(F.min(F.col("_n") / F.col("_s")).alias("_k"))
+    rate = F.least(F.lit(1.0),
+                   F.col("_k") * F.col("_s") / F.col("_n"))
+    rates = (counts.crossJoin(F.broadcast(k))
+             .select(class_col,
+                     F.round(F.col("_s"), 6).alias("target_share"),
+                     rate.alias("_rate")))
+    b = _bucket(F.col(id_col), salt)
+    return (df.join(F.broadcast(rates), class_col)
+            .filter(b < F.round(F.col("_rate") * _BUCKETS).cast("long"))
+            .withColumn("keep_rate", F.round(F.col("_rate"), 6))
+            .drop("_rate"))
+
+
 def quality_stratified_sample(df: DataFrame, id_col: str,
                               quality_col: str,
                               tiers: list[tuple[float, str, float]]

@@ -3908,3 +3908,41 @@ def dsir_select_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dsir_select(d, d.filter(F.col("lang") == "en"),
                        "doc_id", "text", k=200, n_buckets=512)
+
+
+@register("mixture_resample_documents", f"""
+WITH shares AS (
+  SELECT * FROM (VALUES ('en', CAST(0.5 AS DOUBLE)),
+                        ('de', CAST(0.2 AS DOUBLE)),
+                        ('es', CAST(0.2 AS DOUBLE)),
+                        ('fr', CAST(0.1 AS DOUBLE))) t(lang, s)
+),
+counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+cs AS (
+  SELECT c.lang, c.n, sh.s
+  FROM counts c JOIN shares sh USING (lang) WHERE sh.s > 0
+),
+k AS (SELECT min(n / s) AS k FROM cs),
+r AS (
+  SELECT lang, round(s, 6) AS target_share,
+         least(1.0, k.k * s / n) AS rate
+  FROM cs, k
+)
+SELECT d.doc_id, d.lang, r.target_share,
+       round(r.rate, 6) AS keep_rate
+FROM documents d JOIN r USING (lang)
+WHERE {_bucket_sql('d.doc_id', 'mixture')}
+      < CAST(round(rate * 1000000) AS BIGINT)
+""")
+def mixture_resample_q(spark, sf_dir):
+    """Mixture reweighting toward a 50/20/20/10 en/de/es/fr target
+    (zh dropped): the domain-mixing action a data-curation pipeline
+    takes after the representativity report says the crawl mix is
+    wrong. Deterministic hash membership — same kept set on every
+    engine, partitioning, and rerun."""
+    from ..operators.sampling import mixture_resample
+    return mixture_resample(
+        _t(spark, sf_dir, "documents"),
+        "lang", "doc_id",
+        {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}) \
+        .select("doc_id", "lang", "target_share", "keep_rate")

@@ -926,3 +926,25 @@ def test_dsir_weights_planted_affinity_and_determinism(spark):
     sel = dsir_select(raw, target, "id", "text", k=10).toPandas()
     expect = sorted(by_id, key=lambda i: (-by_id[i], i))[:10]
     assert sorted(sel["id"]) == sorted(expect)
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    from standard_data_quality_framework_spark.operators.sampling import (
+        mixture_resample)
+    rows = ([(i, "en") for i in range(4000)]
+            + [(10000 + i, "de") for i in range(1000)]
+            + [(20000 + i, "zh") for i in range(500)])
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = mixture_resample(df, "lang", "id",
+                           {"en": 0.5, "de": 0.5}).toPandas()
+    # zh absent from the target → dropped entirely
+    assert set(out["lang"]) == {"en", "de"}
+    # K = min(4000/.5, 1000/.5) = 2000 → de kept whole, en ~1000
+    n = out.groupby("lang").size()
+    assert n["de"] == 1000
+    assert abs(n["en"] - 1000) < 120  # hash-Bernoulli tolerance
+    assert set(out[out["lang"] == "de"]["keep_rate"]) == {1.0}
+    # deterministic under repartition
+    out2 = mixture_resample(df.repartition(11), "lang", "id",
+                            {"en": 0.5, "de": 0.5}).toPandas()
+    assert sorted(out2["id"]) == sorted(out["id"])
