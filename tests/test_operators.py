@@ -69,10 +69,17 @@ def test_minhash_lsh_leaves_no_cached_rdds(spark, docs):
     # computes signatures row-local and persists nothing (relative
     # check: other ops in the shared session — connected_components —
     # legitimately return a checkpointed frame)
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # set-based, not count-based: stale checkpoint RDDs left by other
+    # tests can be unpersisted by the ContextCleaner at any moment
+    # (GC-driven), so "count unchanged" is flaky — the invariant is
+    # that THIS op adds no new persistent RDDs
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                 .toString()[1:-1].split(", "))
     dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3,
                             threshold=0.5).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toString()[1:-1].split(", "))
+    assert after <= before, after - before
 
 
 def test_minhash_lsh_hot_bucket_cap(spark):
