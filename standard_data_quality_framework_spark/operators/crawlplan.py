@@ -263,10 +263,17 @@ def revisit_policy(history: DataFrame, url_col: str, ts_col: str,
         .otherwise(F.least(F.lit(float(max_days)),
                            F.greatest(F.lit(float(min_days)),
                                       span / F.col("n_changes"))))
+    # floor(x·1e6 + 0.5), not round(x, 6): span/n_changes is a ratio
+    # of integers that CAN land exactly on the half grid (e.g.
+    # 397197/86400 = 4.5971875) where Spark's BigDecimal HALF_UP and
+    # DuckDB's double round disagree; floor of x·1e6+0.5 is exact in
+    # both engines
+    snap6 = (lambda c: F.floor(c * 1_000_000 + F.lit(0.5))
+             / F.lit(1_000_000.0))
     return agg.select(
         "url", "n_fetches", "n_changes",
-        F.round(span, 6).alias("span_days"),
-        F.round(interval, 6).alias("interval_days"),
+        snap6(span).alias("span_days"),
+        snap6(interval).alias("interval_days"),
         (F.col("_e1")
          + F.floor(interval * 86400 + F.lit(0.5)).cast("long"))
         .alias("next_fetch_epoch"))

@@ -3272,8 +3272,8 @@ a2 AS (
   FROM a
 )
 SELECT url, n_fetches, n_changes,
-       round(span, 6) AS span_days,
-       round(itv, 6) AS interval_days,
+       floor(span * 1000000 + 0.5) / 1000000.0 AS span_days,
+       floor(itv * 1000000 + 0.5) / 1000000.0 AS interval_days,
        e1 + CAST(floor(itv * 86400 + 0.5) AS BIGINT) AS next_fetch_epoch
 FROM a2
 """)
