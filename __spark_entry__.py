@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness probe samples the FIRST 50 entries of
-# queries(). The registry (74+ queries) has outgrown that window, so
+# queries(). The registry (100 queries) has outgrown that window, so
 # ordering follows a NEUTRAL, self-maintaining rotation rule — not a
 # hand-curated list (ADVICE r4): queries WITHOUT a row in the latest
 # driver CORRECTNESS artifact come first (least-recently-probed
