@@ -51,3 +51,28 @@ def test_pipeline_null_and_garbage_rows(spark):
     assert len(out.loc["u_garbage", "drop_reasons"]) > 0
     # scrubbed_text is always a string, even for degenerate rows
     assert (out["scrubbed_text"].map(lambda s: isinstance(s, str))).all()
+
+
+def test_dsir_and_mixture_degenerate_inputs(spark):
+    from standard_data_quality_framework_spark.operators.sampling import (
+        dsir_logweights, dsir_select, mixture_resample)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "de"),
+         (3, "", "en"), (4, None, "de")],
+        "id long, text string, lang string")
+    empty = docs.limit(0)
+    # empty raw → empty weights; empty target → uniform-smoothed
+    # weights still defined for every raw doc with ≥1 token
+    assert dsir_logweights(empty, docs, "id", "text").count() == 0
+    w = dsir_logweights(docs, empty, "id", "text").toPandas()
+    assert set(w["id"]) <= {1, 2, 3, 4} and len(w) >= 2
+    assert dsir_select(docs, docs, "id", "text", k=10).count() <= 4
+    # null text must not crash (split(null) → no feature rows)
+    wn = dsir_logweights(docs, docs, "id", "text").toPandas()
+    assert 4 not in set(wn["id"])  # null-text doc has no features
+    # mixture: all classes absent from the target → empty result;
+    # empty input → empty result with the schema intact
+    assert mixture_resample(docs, "lang", "id", {"zz": 1.0}).count() == 0
+    out = mixture_resample(empty, "lang", "id", {"en": 1.0})
+    assert out.count() == 0
+    assert {"target_share", "keep_rate"} <= set(out.columns)
