@@ -183,6 +183,8 @@ def _dsir_features(df: DataFrame, id_col: str, text_col: str,
     function path, while the top-level expression after the explode
     stays inside whole-stage codegen (measured ~1.5× on the full
     operator)."""
+    from ..fanout import fan_out
+    df = fan_out(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # when() guard, not a filter: the optimizer may evaluate this
     # projection below a pushed filter, and slice throws on short rows
@@ -190,8 +192,15 @@ def _dsir_features(df: DataFrame, id_col: str, text_col: str,
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))))
         .otherwise(F.array().cast("array<string>")))
+    # explode_OUTER + isNotNull: a plain explode's inferred
+    # size()>0 filter would re-evaluate the interpreted bigram build
+    # below the fan-out exchange (serial scan stage) — see
+    # dedup.word_shingles. Only null-text rows produce a null gram
+    # row, and those were dropped by the plain explode too.
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.concat(toks, bigrams)).alias("_g"))
+                      F.explode_outer(F.concat(toks, bigrams))
+                      .alias("_g"))
+            .filter(F.col("_g").isNotNull())
             .select("id", F.pmod(hash60(F.col("_g")),
                                  F.lit(n_buckets)).alias("bucket")))
 
@@ -225,16 +234,15 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
     the corpus), the totals ride a single-partition window over that
     ≤ ``n_buckets``-row aggregate (zero extra scans), and the ratio
     table is BROADCAST onto the exploded raw features. The one
-    corpus-scale shuffle is PLANTED on the scoring side's exploded
-    (id, bucket) frame *before* the ratio join instead of letting
-    groupBy(id) shuffle after it — identical bytes either way (the
-    broadcast join preserves the id partitioning, so the per-doc sum
-    adds no second exchange), and with the shuffle ahead of the join
-    the join+sum parallelize across the cluster even when the scan
-    has few input splits (measured ~2× on a single-file input; the
-    fit branch reads the UNPLANTED features — its hashing runs
-    before any exchange either way, so a second planted shuffle
-    would be pure I/O).
+    corpus-scale shuffle is PLANTED on the exploded (id, bucket)
+    frame *before* the ratio join instead of letting groupBy(id)
+    shuffle after it — identical bytes either way (the broadcast join
+    preserves the id partitioning, so the per-doc sum adds no second
+    exchange), with the shuffle ahead of the join the join+sum
+    parallelize across the cluster even when the scan has few input
+    splits (measured ~2× on a single-file input), and BOTH consumers
+    (full-corpus fit + scoring) read the same planted exchange, so
+    the gram hashing runs once (ReuseExchange — r6, see comment).
     At 10^12 docs fit the raw distribution on a sample, FAISS-style:
     ``raw_dist_frac < 1`` routes the fit through ``hash_sample`` (the
     deterministic salted-hash Bernoulli), while scoring stays
@@ -243,7 +251,15 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
     fit never saw have no ratio row and contribute 0 to a doc's
     weight; with a full fit every scored bucket is covered.)
     """
-    raw_feats = _dsir_features(raw, id_col, text_col, n_buckets)
+    # ONE planted id-keyed exchange shared by BOTH consumers: the fit
+    # branch (inside the broadcast-ratio subtree) and the scoring
+    # branch read the identical repartitioned subplan, so ReuseExchange
+    # materializes the md5 feature hashing — the dominant CPU — once.
+    # (The r5 shape planted the exchange only on the scoring side; the
+    # fit branch re-ran the full gram hashing from the scan, doubling
+    # the hot stage.)
+    raw_feats = (_dsir_features(raw, id_col, text_col, n_buckets)
+                 .repartition(F.col("id")))
     fit_feats = raw_feats if raw_dist_frac >= 1.0 else _dsir_features(
         hash_sample(raw, id_col, raw_dist_frac, salt),
         id_col, text_col, n_buckets)
@@ -268,11 +284,21 @@ def dsir_logweights(raw: DataFrame, target: DataFrame, id_col: str,
                           + F.log(F.col("_nr") + b))
                          * _DSIR_SCALE + 0.5)
                  .cast("long").alias("_lr")))
-    return (raw_feats.repartition(F.col("id"))
-            .join(F.broadcast(ratio), "bucket")
-            .groupBy("id")
-            .agg(F.round(F.sum("_lr") / F.lit(float(_DSIR_SCALE)), 6)
-                 .alias("logweight")))
+    scored = (raw_feats
+              .join(F.broadcast(ratio), "bucket")
+              .groupBy("id")
+              .agg(F.round(F.sum("_lr") / F.lit(float(_DSIR_SCALE)), 6)
+                   .alias("logweight")))
+    # one row per RAW doc (r5 ADVICE #3): docs with no grams, and —
+    # when raw_dist_frac < 1 — docs whose every bucket is absent from
+    # the sampled fit, vanished from the inner join; the docstring
+    # promises logweight 0 for them. The ids frame is a one-column
+    # pruned scan; with a full fit every doc scores and the left join
+    # is row-for-row identical to the old output.
+    ids = raw.select(F.col(id_col).alias("id"))
+    return (ids.join(scored, "id", "left")
+            .select("id", F.coalesce("logweight", F.lit(0.0))
+                    .alias("logweight")))
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,

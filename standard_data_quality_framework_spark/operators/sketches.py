@@ -163,15 +163,22 @@ def grouped_quantiles(df: DataFrame, group_cols: list[str],
     Recast of /root/reference/src/quality_checks.py summary statistics
     (describe()-style percentiles) for groups that do not fit memory.
     """
-    agg = []
-    for q, alias in qs:
-        if approx:
-            agg.append(F.approx_percentile(
-                F.col(value_col), F.lit(q), F.lit(accuracy)).alias(alias))
-        else:
-            agg.append(F.percentile(
-                F.col(value_col), F.lit(q)).alias(alias))
-    return df.groupBy(*group_cols).agg(*agg)
+    # ONE percentile aggregate with an ARRAY of percentages, then
+    # project the items out: per-alias aggregates each built their own
+    # per-group value buffer over the same column — 3 quantiles meant
+    # 3 identical counts-maps and 3 sorts. The array form shares one
+    # buffer; each quantile is computed from the same per-group state,
+    # so values are bit-identical per q.
+    pcts = F.array(*[F.lit(q) for q, _ in qs])
+    if approx:
+        agg = F.approx_percentile(F.col(value_col), pcts,
+                                  F.lit(accuracy)).alias("_qarr")
+    else:
+        agg = F.percentile(F.col(value_col), pcts).alias("_qarr")
+    return (df.groupBy(*group_cols).agg(agg)
+            .select(*group_cols,
+                    *[F.col("_qarr").getItem(i).alias(alias)
+                      for i, (_, alias) in enumerate(qs)]))
 
 
 def bloom_sketch(df: DataFrame, key_col: str, n_bits: int = 16384,

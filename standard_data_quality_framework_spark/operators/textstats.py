@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import STOPWORDS
+from ..fanout import fan_out
 from ..functions.hashing import hash60
 
 
@@ -21,6 +22,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_bpe_ish: BPE-like subword count estimated with the classic
     pre-tokenizer regex (letter runs / digit runs / single symbols).
     """
+    df = fan_out(df)
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(
@@ -43,6 +45,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str,
     composite heuristic quality score in [0,1] (C4-ish). ``keep_cols``
     ride along in the same projection so downstream consumers (e.g.
     quality_stratified_sample) never need a join back to the source."""
+    df = fan_out(df)
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_tokens = F.when(F.length(trimmed) == 0, 0).otherwise(
@@ -80,6 +83,7 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str,
     Counts per-language stop-word hits; argmax with a fixed language-
     order tie-break. The cheap SQL-only tier; the real classifier is
     models/langid.py."""
+    df = fan_out(df)
     trimmed = F.trim(F.col(text_col))
     toks = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
             .otherwise(F.transform(F.split(trimmed, r"\s+"),
@@ -116,6 +120,7 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str,
     (winnowing-lite): equal fingerprints ⇒ shared rare shingle, a
     cheap near-dup pre-cluster key. Docs shorter than n words hash
     the whole text."""
+    df = fan_out(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -141,7 +146,10 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     denser than minhash (which samples globally) but position-robust
     unlike the single doc_fingerprint hash.
 
-    Shape (shuffle-FREE — zero exchanges): the k-gram hash array is
+    Shape (row-local after one adaptive fan-out; the fan_out exchange
+    only fires when the scan under-splits — see fanout.py, and the
+    plan audit allows exactly that one Exchange): the k-gram hash
+    array is
     computed ONCE per row behind a projection boundary (the alias is
     non-cheap and referenced w times, so CollapseProject keeps the
     boundary instead of inlining w copies), then the sliding minimum
@@ -160,6 +168,7 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     Recast of the reference's content-hash duplicate intent
     (uc1_image_quality_checks.py:589-659) for partial overlap.
     """
+    df = fan_out(df)
     t = F.col(text_col)
     n_grams = F.length(t) - (k - 1)
     khashes = (F.when(n_grams >= w, F.transform(
@@ -197,8 +206,9 @@ def _word_gram_hashes(df: DataFrame, id_col: str, text_col: str,
     two non-cheap references, so CollapseProject keeps the boundary —
     same trick as winnowing_fingerprints) so the split never
     re-evaluates per gram."""
-    t = df.select(F.col(id_col).alias("id"),
-                  F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    t = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
     n_grams = F.size("_toks") - (n - 1)
     # when() guard INSIDE the projection: sequence(1, k) with k <= 0
     # generates a DESCENDING sequence, not an empty one
@@ -219,31 +229,43 @@ def decontaminate(train: DataFrame, evals: DataFrame, id_col: str,
     (n=13 in the GPT-3 appendix) with any document of the evaluation
     set.
 
-    Scale shape: the EVAL side is small by definition (a benchmark),
-    so its distinct gram-hash set is aggregated to one array and
-    broadcast; the train side then computes per-doc overlap with one
-    row-local ``array_intersect`` — ZERO shuffles over the 10^12-doc
-    train corpus (the only exchange is the tiny eval-side aggregate).
-    Recasts the reference's cross-dataset membership checks
+    Scale shape: the EVAL side is small by definition (a benchmark);
+    its distinct gram hashes are BROADCAST and the train side probes
+    them with one broadcast hash join over its exploded gram rows —
+    the hash relation is built once per task, not once per row. (The
+    r5 shape kept the eval set as ONE collected array and ran a
+    row-local ``array_intersect`` per train doc; ArrayIntersect
+    rebuilds its lookup set from the eval array on EVERY row, so the
+    operator was O(|train| · |eval grams|) — measured quadratic,
+    1.9 s at sf0.1 → 200 s at sf1.0. The join probe is O(|train
+    grams|) total and re-aggregates per doc with a map-side-combined
+    count on the id key — the one narrow shuffle, one row per train
+    doc.) Recasts the reference's cross-dataset membership checks
     (app.py:899-907 set-intersection coverage) onto the train/eval
     leakage axis.
     """
     eval_grams = (
         _word_gram_hashes(evals, eval_id_col or id_col,
                           eval_text_col or text_col, n)
-        .select(F.explode("grams").alias("g"))
-        .agg(F.collect_set("g").alias("_eval_grams")))
+        .select(F.explode_outer("grams").alias("_eg"))
+        .filter(F.col("_eg").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1)))
     g = _word_gram_hashes(train, id_col, text_col, n)
-    overlap = F.size(F.array_intersect("grams", "_eval_grams"))
-    return (g.crossJoin(F.broadcast(eval_grams))
-            .select(
-                "id",
-                F.size("grams").alias("n_grams"),
-                overlap.alias("n_contaminated"),
-                F.when(F.size("grams") > 0,
-                       F.round(overlap / F.size("grams"), 6))
-                .otherwise(F.lit(0.0)).alias("contaminated_frac"),
-                (overlap > 0).alias("contaminated")))
+    # grams are already distinct per doc, so post-explode counts equal
+    # the set sizes; explode_OUTER keeps zero-gram docs (count("_g")=0)
+    ex = g.select("id", F.explode_outer("grams").alias("_g"))
+    joined = ex.join(F.broadcast(eval_grams),
+                     ex["_g"] == eval_grams["_eg"], "left")
+    n_grams = F.count("_g").cast("int")
+    overlap = F.count("_hit").cast("int")
+    return (joined.groupBy("id")
+            .agg(n_grams.alias("n_grams"),
+                 overlap.alias("n_contaminated"),
+                 F.when(n_grams > 0,
+                        F.round(overlap / n_grams, 6))
+                 .otherwise(F.lit(0.0)).alias("contaminated_frac"),
+                 (overlap > 0).alias("contaminated")))
 
 
 def vocab_stats(df: DataFrame, id_col: str, text_col: str,
@@ -261,6 +283,7 @@ def vocab_stats(df: DataFrame, id_col: str, text_col: str,
     TakeOrderedAndProject, never a full sort of the vocabulary.
     Tie-break (tf desc, token asc) makes the cut deterministic.
     """
+    df = fan_out(df)
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                         "\\s+")).alias("token"))

@@ -187,22 +187,36 @@ def with_verdict(df: DataFrame) -> DataFrame:
 
     # coalesce guards: an inner equi-join drops NULL keys, a window
     # would have grouped them — make the key expressions total so the
-    # two shapes stay semantically identical on degenerate inputs
+    # two shapes stay semantically identical on degenerate inputs.
+    # NULL etext gets its own sentinel hash group (r5 ADVICE #2): a
+    # failed extraction is not "the same page" as an empty one. (Dead
+    # on the standard paths, where etext is already coalesced
+    # non-null, but with_verdict is callable on any signals frame.)
     df = (df.withColumn("_vday", F.coalesce(F.to_date(F.col("warc_ts")),
                                             F.to_date(F.lit("1970-01-01"))))
             .withColumn("_vhash", F.md5(F.coalesce(F.col("etext"),
-                                                   F.lit(""))))
+                                                   F.lit("\x00<null>"))))
             .localCheckpoint(eager=False))
+    # kept key = min(struct(url, warc_ts)) — r5 ADVICE #1: with the
+    # bare min(url), two same-day fetches of the SAME url with
+    # identical content both compared equal to the kept url and
+    # neither was flagged. The full (url, warc_ts) key flags every row
+    # that differs from the kept one; rows identical in url AND ts AND
+    # content are indistinguishable without a synthetic row id (which
+    # would break retry determinism) and stay unflagged — documented
+    # residual. Unique-url inputs (all declared queries/fixtures) are
+    # byte-identical under both keys.
+    df = df.withColumn("_vkey", F.struct("url", "warc_ts"))
     kept = (df.groupBy("_vday", "_vhash")
-            .agg(F.min("url").alias("_kept_url")))
+            .agg(F.min("_vkey").alias("_kept_key")))
     df = df.join(kept.hint("SHUFFLE_HASH"), ["_vday", "_vhash"])
     df = df.withColumn(
         "drop_reasons",
-        F.when(F.col("url") != F.col("_kept_url"),
+        F.when(~F.col("_vkey").eqNullSafe(F.col("_kept_key")),
                F.concat(F.col("_reasons_pd"),
                         F.array(F.lit("exact_dup"))))
         .otherwise(F.col("_reasons_pd")),
-    ).drop("_reasons_pd", "_vday", "_vhash", "_kept_url")
+    ).drop("_reasons_pd", "_vday", "_vhash", "_vkey", "_kept_key")
     return df.withColumn("keep", F.size("drop_reasons") == 0)
 
 

@@ -147,13 +147,20 @@ WHERE r.r_name = (SELECT min(r_name) FROM region)
 GROUP BY n.n_name
 """)
 def q5(spark, sf_dir):
+    # plan-side scalar: the min region rides a broadcast 1-row cross
+    # join (the pattern used everywhere else in this file) instead of
+    # a driver collect — one job, one DAG, laziness intact (r5 VERDICT
+    # "what's wrong" #3)
     r = _t(spark, sf_dir, "region")
-    first_region = r.agg(F.min("r_name")).collect()[0][0]
+    first_region = r.agg(F.min("r_name").alias("_min_rname"))
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    dim = (n.join(F.broadcast(r.filter(F.col("r_name") == first_region)),
+    r_first = (r.crossJoin(F.broadcast(first_region))
+               .filter(F.col("r_name") == F.col("_min_rname"))
+               .drop("_min_rname"))
+    dim = (n.join(F.broadcast(r_first),
                   n.n_regionkey == F.col("r_regionkey")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
@@ -787,7 +794,7 @@ def emb_neardup(spark, sf_dir):
     # at small N); the scale path is the bucketed query below
     return dedup.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.35, n_planes=0)
+        threshold=0.35, n_planes=0, allow_exact=True)
 
 
 @register("embedding_neardup_lsh", f"""
@@ -851,7 +858,8 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 def ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5)
+    return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5,
+                                  dim=64)
 
 
 @register("ann_lsh_bucketed", f"""
@@ -2144,7 +2152,7 @@ def ann_ivf_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_ann(emb, q, "vec_id", "embedding",
-                              k=5, n_cells=16, n_probe=2)
+                              k=5, n_cells=16, n_probe=2, dim=64)
 
 
 def _kmeans_cells_sql(n_cells: int, n_iter: int,
@@ -2231,7 +2239,7 @@ def ann_ivf_kmeans_q(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_ann(emb, q, "vec_id", "embedding",
                               k=5, n_cells=16, n_probe=2, kmeans_iters=2,
-                              train_frac=0.5)
+                              train_frac=0.5, dim=64)
 
 
 @register("multimodal_frame_offsets", """

@@ -36,6 +36,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SDQF_DRIVER_MEM", "16g"))
+        # the unrolled vector math (similarity._dot) generates Java
+        # methods past HotSpot's 8000-bytecode JIT refusal threshold
+        # (-XX:DontCompileHugeMethods default); without this flag those
+        # methods run in the BYTECODE INTERPRETER — measured 2× slower
+        # than the lambda forms they replaced, and 5× faster once
+        # JIT-compiled. Standard practice for codegen-heavy Spark
+        # (wide schemas hit the same cliff); on a cluster the same
+        # flag goes in spark.executor.extraJavaOptions too (local mode
+        # has one JVM, so driver covers both roles here).
+        .config("spark.driver.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods "
+                "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods "
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         # parquet split sizing: at 100 TB this keeps scan tasks ~128 MB
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -67,9 +67,12 @@ def test_dsir_and_mixture_degenerate_inputs(spark):
     w = dsir_logweights(docs, empty, "id", "text").toPandas()
     assert set(w["id"]) <= {1, 2, 3, 4} and len(w) >= 2
     assert dsir_select(docs, docs, "id", "text", k=10).count() <= 4
-    # null text must not crash (split(null) → no feature rows)
+    # null text must not crash (split(null) → no feature rows); the
+    # doc still gets a row with logweight 0 — one row per raw doc
+    # (r5 ADVICE #3: unscored docs must not silently vanish)
     wn = dsir_logweights(docs, docs, "id", "text").toPandas()
-    assert 4 not in set(wn["id"])  # null-text doc has no features
+    assert set(wn["id"]) == {1, 2, 3, 4}
+    assert wn.set_index("id").loc[4, "logweight"] == 0.0
     # mixture: all classes absent from the target → empty result;
     # empty input → empty result with the schema intact
     assert mixture_resample(docs, "lang", "id", {"zz": 1.0}).count() == 0

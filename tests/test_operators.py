@@ -141,7 +141,8 @@ def test_embedding_neardup(spark, emb):
     # exact all-pairs path
     out = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding",
                                         threshold=0.95,
-                                        n_planes=0).toPandas()
+                                        n_planes=0,
+                                        allow_exact=True).toPandas()
     assert (3, 7) in set(zip(out.id_a, out.id_b))
     # bucketed path: the near-identical pair shares every hyperplane
     # sign (cos≈1 ⇒ θ≈0), so it survives the bucket equi-join
@@ -684,7 +685,7 @@ def test_embedding_lsh_recall_or_amplified(spark):
         rows, "vec_id long, embedding array<double>")
     exact = dedup.embedding_neardup_pairs(
         emb2, "vec_id", "embedding", threshold=0.95,
-        n_planes=0).toPandas()
+        n_planes=0, allow_exact=True).toPandas()
     approx = dedup.embedding_neardup_pairs(
         emb2, "vec_id", "embedding", threshold=0.95,
         n_planes=8, dim=dim, n_tables=4).toPandas()
@@ -955,3 +956,44 @@ def test_mixture_resample_hits_target_shares(spark):
     out2 = mixture_resample(df.repartition(11), "lang", "id",
                             {"en": 0.5, "de": 0.5}).toPandas()
     assert sorted(out2["id"]) == sorted(out["id"])
+
+
+def test_embedding_exact_path_requires_opt_in(spark, emb):
+    # r6: n_planes=0 is an O(N²) cartesian — a production caller must
+    # opt in explicitly (r5 VERDICT footgun #2)
+    with pytest.raises(ValueError, match="allow_exact"):
+        dedup.embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                      threshold=0.95, n_planes=0)
+
+
+def test_fan_out_adaptive(spark):
+    # r6: fan_out repartitions ONLY when the input under-fans the
+    # session — a well-split input passes through with no new shuffle
+    from standard_data_quality_framework_spark.fanout import fan_out
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    fanned = fan_out(narrow)
+    assert fanned.rdd.getNumPartitions() == target
+    assert fanned.count() == 1000
+    wide = spark.range(1000).repartition(target + 4)
+    assert fan_out(wide) is wide
+
+
+def test_grouped_quantiles_exact_matches_per_alias(spark):
+    # r6: the shared-buffer array-percentile form must equal the
+    # old per-alias aggregates bit-for-bit (integer cents, dyadic q)
+    import random
+    rnd = random.Random(7)
+    rows = [(rnd.choice("ABC"), rnd.randint(0, 10_000_000))
+            for _ in range(5000)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    from standard_data_quality_framework_spark.operators.sketches import (
+        grouped_quantiles)
+    qs = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]
+    got = (grouped_quantiles(df, ["g"], "cents", qs, approx=False)
+           .toPandas().set_index("g").sort_index())
+    want = (df.groupBy("g")
+            .agg(*[F.percentile(F.col("cents"), F.lit(q)).alias(a)
+                   for q, a in qs])
+            .toPandas().set_index("g").sort_index())
+    assert (got == want).all().all()
