@@ -98,11 +98,13 @@ def extract_outlinks(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     the full html/text column is pruned away before anything wide
     consumes the result.
     """
+    from ..fanout import fan_out
     from ..functions.urlnorm import host_of, normalize_url
-    links = (df.select(F.col(id_col).alias("id"),
-                       F.explode(F.regexp_extract_all(
-                           F.col(html_col),
-                           F.lit('href="([^"]+)"'), 1)).alias("raw_url"))
+    links = (fan_out(df)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(F.regexp_extract_all(
+                         F.col(html_col),
+                         F.lit('href="([^"]+)"'), 1)).alias("raw_url"))
              .select("id", normalize_url("raw_url").alias("url_norm")))
     return (links.withColumn("host", host_of("url_norm"))
             .where(F.length("host") > 0))
@@ -151,8 +153,16 @@ def host_pagerank(edges: DataFrame, src_col: str = "src",
     lineage grows linearly in ``iters``; for the deep-iteration case
     insert a ``localCheckpoint`` every ~10 rounds.
     """
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
+    # materialize the slim edge list ONCE (lazy localCheckpoint — the
+    # CC precedent): nodes, out-degrees and every iteration's contrib
+    # join all consume `e`, and without a materialization point each
+    # consumer re-runs the caller's (potentially expensive) edge
+    # derivation — for the entry query that is the full html link
+    # extraction + URL normalization chain, re-executed ~8× and
+    # serially (measured 7.3 s → 1.3 s at sf1.0-scale)
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("h"))
              .union(e.select(F.col("dst").alias("h"))).distinct())
     nodes_n = nodes.crossJoin(

@@ -966,17 +966,23 @@ def test_embedding_exact_path_requires_opt_in(spark, emb):
                                       threshold=0.95, n_planes=0)
 
 
-def test_fan_out_adaptive(spark):
-    # r6: fan_out repartitions ONLY when the input under-fans the
-    # session — a well-split input passes through with no new shuffle
+def test_fan_out_adaptive(spark, tmp_path):
+    # r6: fan_out repartitions ONLY narrow scan-rooted inputs that
+    # under-fan the session; explicitly partitioned or wide (join/agg)
+    # plans pass through with no new shuffle (and, crucially, no
+    # .rdd call — which under AQE executes upstream query stages)
     from standard_data_quality_framework_spark.fanout import fan_out
     target = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).coalesce(1)
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
     fanned = fan_out(narrow)
     assert fanned.rdd.getNumPartitions() == target
     assert fanned.count() == 1000
     wide = spark.range(1000).repartition(target + 4)
     assert fan_out(wide) is wide
+    joined = narrow.join(spark.range(10), "id")
+    assert fan_out(joined) is joined
 
 
 def test_grouped_quantiles_exact_matches_per_alias(spark):
@@ -997,3 +1003,25 @@ def test_grouped_quantiles_exact_matches_per_alias(spark):
                    for q, a in qs])
             .toPandas().set_index("g").sort_index())
     assert (got == want).all().all()
+
+
+def test_embedding_verify_arrow_native_parity(spark):
+    # r6: the per-bucket numpy verify must be BIT-identical to the
+    # native expression path (fold order + HALF_UP rounding replicated)
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((2600, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.5, n_planes=2, dim=16, n_tables=2)
+    arrow = dedup.embedding_neardup_pairs(
+        df, "vec_id", "embedding", verify_impl="arrow", **kw).toPandas()
+    native = dedup.embedding_neardup_pairs(
+        df, "vec_id", "embedding", verify_impl="native", **kw).toPandas()
+    a = arrow.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = native.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 100
+    assert (a["id_a"] == b["id_a"]).all()
+    assert (a["id_b"] == b["id_b"]).all()
+    # exact double equality, not isclose — the kernel pledges bit parity
+    assert (a["cos_sim"].to_numpy() == b["cos_sim"].to_numpy()).all()

@@ -92,10 +92,43 @@ def lineitem(mult=10, seed=44):
     return pa.concat_tables(parts)
 
 
+def events(mult=10):
+    src = pq.read_table(f"{SRC}/events.parquet")
+    n = src.num_rows
+    parts = []
+    for m in range(mult):
+        t = src
+        eid = pa.array(np.asarray(t["event_id"]) + m * 10_000_000,
+                       pa.int64())
+        uid = pa.array(np.asarray(t["user_id"]) + m * 1_000_000,
+                       pa.int64())
+        t = t.set_column(t.schema.get_field_index("event_id"),
+                         "event_id", eid)
+        t = t.set_column(t.schema.get_field_index("user_id"),
+                         "user_id", uid)
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
+def orders(mult=10):
+    # orderkey offsets MATCH lineitem's replicas so join queries see
+    # driver-scale join cardinalities
+    src = pq.read_table(f"{SRC}/orders.parquet")
+    parts = []
+    for m in range(mult):
+        t = src
+        ok = pa.array(np.asarray(t["o_orderkey"]) + m * 10_000_000,
+                      pa.int64())
+        t = t.set_column(t.schema.get_field_index("o_orderkey"),
+                         "o_orderkey", ok)
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     jobs = {"documents": documents, "embeddings": embeddings,
-            "lineitem": lineitem}
+            "lineitem": lineitem, "events": events, "orders": orders}
     for name, fn in jobs.items():
         path = f"{OUT}/{name}.parquet"
         if os.path.exists(path):
@@ -105,8 +138,7 @@ def main():
         print("wrote", path)
     # small tables: reuse sf0.1 unchanged
     import shutil
-    for name in ["customer", "events", "nation", "orders", "part",
-                 "region", "supplier"]:
+    for name in ["customer", "nation", "part", "region", "supplier"]:
         path = f"{OUT}/{name}.parquet"
         if not os.path.exists(path):
             shutil.copy(f"{SRC}/{name}.parquet", path)
