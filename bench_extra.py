@@ -55,6 +55,8 @@ def main() -> None:
             fn(spark, args.dir).write.format("noop") \
                 .mode("overwrite").save()
 
+        if args.samples == 0:
+            continue  # --explain-only mode
         for _ in range(args.warmup):
             run()
         ts = []

@@ -188,9 +188,14 @@ FORBID = [
     ("dedup_simhash_pairs", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("dedup_minhash_lsh", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
     ("dedup_ngram_jaccard", ["BroadcastNestedLoopJoin", "CartesianProduct"]),
-    # winnowing is fully row-local (shifted-slice sliding min): the r2
-    # per-char posexplode+window shape shuffled ~n_chars rows per doc
-    ("winnowing_fingerprints_documents", ["Exchange"]),
+    # winnowing is row-local (shifted-slice sliding min): the r2
+    # per-char posexplode+window shape shuffled ~n_chars rows per doc.
+    # r6: ONE adaptive fan-out Exchange of the raw rows is allowed
+    # (fanout.py — the single-row-group scan serialized the md5 pass);
+    # the zero-Exchange property is now asserted as exactly-1 in
+    # COUNTED below, and the forbidden shapes here stay forbidden
+    ("winnowing_fingerprints_documents", ["BroadcastNestedLoopJoin",
+                                          "CartesianProduct", "Window"]),
     # bucketized range join must plan as a hash equi-join, never the
     # nested-loop the naive inequality join would get
     ("range_join_event_bands", ["BroadcastNestedLoopJoin",
@@ -212,8 +217,11 @@ COUNTED = [
     # agg → exchange → final), not the join. Any count above 2 would
     # mean the union sides started shuffling separately.
     ("asof_last_purchase_value", r"\(\d+\) Exchange", 2),
-    # stratified sampling is a narrow projection + filter — NO shuffle
-    ("quality_stratified_sample_documents", r"\(\d+\) Exchange", 0),
+    # r6: winnowing = the one adaptive fan-out Exchange, nothing else
+    ("winnowing_fingerprints_documents", r"\(\d+\) Exchange", 1),
+    # stratified sampling is a narrow projection + filter; its only
+    # shuffle is the scorer's adaptive fan-out (r6)
+    ("quality_stratified_sample_documents", r"\(\d+\) Exchange", 1),
     # blocklist pass is zero-shuffle: broadcast probes only ("(n)
     # BroadcastExchange" does not match "(n) Exchange")
     ("blocklist_filter_documents", r"\(\d+\) Exchange", 0),
@@ -230,10 +238,15 @@ COUNTED = [
     # sharding: slice cumsum window + per-slice totals agg +
     # single-partition offsets window (n_slices rows)
     ("size_balanced_shards_documents", r"\(\d+\) Exchange", 3),
-    # DSIR: fit groupBy(bucket) + single-partition totals window over
-    # the ≤ n_buckets-row aggregate + per-doc groupBy(id) — a fourth
-    # Exchange would mean the fit or scoring side started rescanning
-    ("dsir_select_documents", r"\(\d+\) Exchange", 3),
+    # DSIR, r6 accounting (static plan; AQE stage reuse dedups the
+    # doubled entries at runtime): raw-feature fan-out ×2 prints
+    # (scoring + fit read the SAME planted subtree), planted
+    # id-repartition ×2 prints (same), target-feature fan-out, fit
+    # groupBy(bucket), and the single-partition totals window over
+    # the ≤ n_buckets-row aggregate. The ADVICE-#3 ids join rides a
+    # BroadcastExchange (not counted here). An eighth Exchange would
+    # mean the fit or scoring side started rescanning independently.
+    ("dsir_select_documents", r"\(\d+\) Exchange", 7),
 ]
 
 

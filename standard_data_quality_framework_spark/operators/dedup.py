@@ -146,7 +146,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Pass max_shingle_df=None for the uncapped exact variant (small N).
     """
     ss = shingle_sets(df, id_col, text_col, n)
-    sh = ss.select("id", F.explode("shingles").alias("shingle"))
+    # explode_outer + isNotNull — see word_shingles (inferred-filter
+    # pushdown would re-run the shingle transform serially)
+    sh = (ss.select("id", F.explode_outer("shingles").alias("shingle"))
+          .filter(F.col("shingle").isNotNull()))
     if max_shingle_df is not None:
         w = Window.partitionBy("shingle")
         sh = (sh.withColumn("_df", F.count("*").over(w))
@@ -665,20 +668,17 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     if n_planes > 0:
         from .similarity import lsh_bucket_col
         n_tables = max(1, n_tables)
-        # per-VECTOR norms use the unrolled codegen form (dim is a
-        # hard contract on the bucketed path — the hyperplanes are
-        # dim-length); the per-PAIR dot stays the fold-lambda form:
-        # measured 0.55 µs/pair vs 0.79 µs unrolled inside the join
-        # consume path, where a 64-term two-array expression defeats
-        # codegen CSE/method-splitting (16 interleaved terms are fine,
-        # 64 hit a 10× cliff — probe ledger in OPTIMIZATION_r06.md)
-        vn = v.withColumn("_n", F.sqrt(_sqnorm(F.col("v"), dim)))
+        # per-VECTOR norms hoisted out of the pair loop; both norm
+        # and per-pair dot use the fold-lambda form (the unrolled
+        # variants pay ~0.5-1 s codegen+JIT per run and hit a 10×
+        # method-split cliff on two-array terms — similarity._dot)
+        vn = v.withColumn("_n", F.sqrt(_sqnorm(F.col("v"))))
         buckets = vn.select(
             "id", "v", "_n",
             *[lsh_bucket_col(F.col("v"), n_planes, dim,
                              first_plane=t * n_planes)
               .alias(f"b{t}") for t in range(n_tables)])
-        dot = _dot(F.col("va"), F.col("vb"), None)
+        dot = _dot(F.col("va"), F.col("vb"))
         cand = None
         for t in range(n_tables):
             if verify_impl == "arrow":
@@ -721,8 +721,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     # the exact path accepts any vector length, so it keeps the
     # generic fold (small-N by definition — the unrolled form would
     # throw on shorter arrays under ANSI)
-    vn = v.withColumn("_n", F.sqrt(_sqnorm(F.col("v"), None)))
-    dot = _dot(F.col("va"), F.col("vb"), None)
+    vn = v.withColumn("_n", F.sqrt(_sqnorm(F.col("v"))))
+    dot = _dot(F.col("va"), F.col("vb"))
     return (cand
             .join(vn.select(F.col("id").alias("id_a"),
                             F.col("v").alias("va"),

@@ -34,17 +34,22 @@ def _dot(a, b, dim: int | None = None):
     every array has exactly that length (a shorter array would throw
     under ANSI, not yield a partial sum).
 
-    WHERE EACH FORM WINS (measured, 52M pairs / 32 cores, r6 probes):
-    in a plain projection the unrolled chain is ~5× faster than the
-    fold lambda (0.26 s vs 1.24 s per 5M rows). Inside a JOIN's
-    codegen consume path, a SINGLE-array unrolled chain stays fast
-    (2 s / 52M) but a 64-term chain touching BOTH join sides hits a
-    10× cliff (18.5 s vs 1.8 s at 16 terms — CSE/method-splitting
-    re-materializes the array accessors), making the fold lambda
-    (28 s full cosine → 0.55 µs/pair for the dot alone) the faster
-    per-PAIR form. Rule used across this module: unrolled for
-    per-VECTOR norms, fold lambda for per-PAIR dots, norms always
-    hoisted out of the pair loop.
+    WHERE EACH FORM WINS (measured, r6 probes; full ledger in
+    OPTIMIZATION_r06.md): in a plain projection the unrolled chain
+    executes ~5× faster than the fold lambda (0.26 s vs 1.24 s per
+    5M rows × 64 dims) — but it carries ~0.5–1 s of codegen+JIT
+    compile per query RUN (expression ids differ per invocation, so
+    the generated-source cache misses), and inside a JOIN's codegen
+    consume path a 64-term chain touching BOTH join sides hits a 10×
+    cliff (18.5 s vs 1.8 s at 16 terms / 52M pairs —
+    CSE/method-splitting re-materializes the array accessors). The
+    fold lambda evaluates at ~0.25 µs per 64-dim row — 5 ms for a
+    20k-vector norm pass — so per-VECTOR work never amortizes the
+    unrolled form's compile cost and per-PAIR work is faster as the
+    lambda anyway. Rule used across this module: FOLD LAMBDA
+    everywhere, norms always hoisted out of the pair loop (the actual
+    3× win); ``dim`` stays available for callers with genuinely
+    compile-once/execute-huge profiles.
     """
     if dim is None:
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -72,31 +77,23 @@ def _cos(a, b, dim: int | None = None):
 
 
 def cosine_topk(candidates: DataFrame, queries: DataFrame, id_col: str,
-                vec_col: str, k: int = 5,
-                dim: int | None = None) -> DataFrame:
+                vec_col: str, k: int = 5) -> DataFrame:
     """(query_id, neighbor_id, cos_sim, rank) — exact top-k by cosine.
 
     Broadcast the query side; rank with a per-query window. Ties break
-    on neighbor id for determinism. ``dim`` (when every vector has
-    exactly that length) switches the per-pair cosine to the unrolled
-    codegen form and hoists each side's norm out of the pair loop —
-    bit-identical values (see _dot), ~100× less per-pair CPU."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv"))
-    c = fan_out(candidates).select(
+    on neighbor id for determinism. Each side's norm is computed once
+    per VECTOR and carried through the join instead of twice per PAIR
+    — the product order na·nb is unchanged, so values are
+    bit-identical (r6; cut the per-pair fold work 3×)."""
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_qn", F.sqrt(_sqnorm(F.col("qv")))))
+    c = (fan_out(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"))
-    if dim is not None:
-        # norms hoisted per vector (unrolled — single-array chains
-        # codegen well); the per-pair dot stays the fold lambda: a
-        # 64-term two-array unrolled expression hits a codegen cliff
-        # inside join consume paths (see similarity._dot notes)
-        q = q.withColumn("_qn", F.sqrt(_sqnorm(F.col("qv"), dim)))
-        c = c.withColumn("_cn", F.sqrt(_sqnorm(F.col("cv"), dim)))
-        cos = (_dot(F.col("qv"), F.col("cv"), None)
-               / (F.col("_qn") * F.col("_cn")))
-    else:
-        cos = _cos(F.col("qv"), F.col("cv"))
+        .withColumn("_cn", F.sqrt(_sqnorm(F.col("cv")))))
+    cos = (_dot(F.col("qv"), F.col("cv"))
+           / (F.col("_qn") * F.col("_cn")))
     scored = (c.join(F.broadcast(q),
                      F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
@@ -118,17 +115,9 @@ def lsh_bucket_col(vec: F.Column, n_planes: int = 8, dim: int = 64,
     v = vec.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        # unrolled plane dot in the aggregate's fold order — codegen
-        # instead of the interpreted zip_with/aggregate pair (see
-        # _dot). ``get`` + coalesce(…, 0.0) preserves zip_with's
-        # truncation contract for vectors shorter than the planes
-        # (missing terms contributed nothing; x + 0.0 is IEEE-exact
-        # for every x the fold can produce, and a -0.0→+0.0 flip
-        # cannot change the `dot > 0` sign test)
-        dot = F.lit(0.0)
-        for d, x in enumerate(plane):
-            dot = dot + F.coalesce(F.get(v, F.lit(d)) * F.lit(x),
-                                   F.lit(0.0))
+        pl = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(v, pl, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(dot > 0,
                                  F.lit(2 ** p).cast("long")).otherwise(0)
     return bucket
@@ -145,28 +134,23 @@ def lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
 
 def lsh_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, k: int = 5, n_planes: int = 8,
-            dim: int = 64, vec_dim: int | None = None) -> DataFrame:
+            dim: int = 64) -> DataFrame:
     """Approximate top-k: exact cosine ranking within the query's LSH
     bucket. Recall < 1 by design; the bench compares it to cosine_topk.
-    ``dim`` is the PLANE length (the historical contract truncates
-    mismatched vectors in the bucket dot); ``vec_dim`` asserts every
-    vector has exactly that length and switches the per-pair cosine to
-    the unrolled codegen form with per-side norms hoisted out of the
-    pair loop — bit-identical values (_dot)."""
+    Per-side norms are hoisted out of the pair loop (bit-identical —
+    see cosine_topk)."""
     candidates = fan_out(candidates)
     cb = lsh_buckets(candidates, id_col, vec_col, n_planes, dim)
     qb = lsh_buckets(queries, id_col, vec_col, n_planes, dim)
     c = (candidates.select(F.col(id_col).alias("neighbor_id"),
                            F.col(vec_col).cast("array<double>").alias("cv"))
-         .withColumn("_cn", F.sqrt(_sqnorm(F.col("cv"), vec_dim)))
+         .withColumn("_cn", F.sqrt(_sqnorm(F.col("cv"))))
          .join(cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"))
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).cast("array<double>").alias("qv"))
-         .withColumn("_qn", F.sqrt(_sqnorm(F.col("qv"), vec_dim)))
+         .withColumn("_qn", F.sqrt(_sqnorm(F.col("qv"))))
          .join(qb.withColumnRenamed("id", "query_id"), "query_id"))
-    # pair dot = fold lambda (codegen cliff on interleaved unrolled
-    # two-array terms — see _dot notes); norms stay hoisted
-    cos = (_dot(F.col("qv"), F.col("cv"), None)
+    cos = (_dot(F.col("qv"), F.col("cv"))
            / (F.col("_qn") * F.col("_cn")))
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -179,27 +163,20 @@ def lsh_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str,
-               vec_col: str, rank: int = 1,
-               dim: int | None = None) -> DataFrame:
+               vec_col: str, rank: int = 1) -> DataFrame:
     """(id, cell, rank) — each vector's `rank` nearest centroids by
     cosine (ties break on the smaller cell id). centroids must be a
-    SMALL frame (cell, cv: array<double>) — it is broadcast. ``dim``
-    switches to the unrolled codegen cosine (bit-identical, see _dot)."""
-    v = fan_out(vectors).select(
+    SMALL frame (cell, cv: array<double>) — it is broadcast. The
+    vector norm is hoisted out of the |v| × n_cells pair loop and the
+    centroid norms ride the broadcast frame; the product order na·nb
+    is unchanged, so values are bit-identical (r6)."""
+    v = (fan_out(vectors).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    if dim is not None:
-        # hoist the vector norm out of the |v| × n_cells pair loop;
-        # centroid norms ride the (tiny) broadcast frame. Product
-        # order na * nb is unchanged, so values are bit-identical.
-        v = v.withColumn("_vn", F.sqrt(_sqnorm(F.col("v"), dim)))
-        cents = centroids.withColumn(
-            "_cn", F.sqrt(_sqnorm(F.col("cv"), None)))
-        cos = (_dot(F.col("v"), F.col("cv"), None)
-               / (F.col("_vn") * F.col("_cn")))
-    else:
-        cents = centroids
-        cos = _cos(F.col("v"), F.col("cv"))
+        .withColumn("_vn", F.sqrt(_sqnorm(F.col("v")))))
+    cents = centroids.withColumn("_cn", F.sqrt(_sqnorm(F.col("cv"))))
+    cos = (_dot(F.col("v"), F.col("cv"))
+           / (F.col("_vn") * F.col("_cn")))
     scored = (v.crossJoin(F.broadcast(cents))
               .select("id", "cell", cos.alias("_cos")))
     w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.asc("cell"))
@@ -223,8 +200,7 @@ def ivf_centroids_by_id(df: DataFrame, id_col: str, vec_col: str,
 def ivf_centroids_kmeans(df: DataFrame, id_col: str, vec_col: str,
                          n_cells: int, n_iter: int = 2,
                          train_frac: float | None = None,
-                         train_salt: str = "ivftrain",
-                         dim: int | None = None) -> DataFrame:
+                         train_salt: str = "ivftrain") -> DataFrame:
     """Spherical-k-means coarse quantizer: deterministic lowest-id
     seeds (ivf_centroids_by_id) refined by a FIXED number of Lloyd
     rounds — cosine assignment, element-wise mean update, components
@@ -257,7 +233,7 @@ def ivf_centroids_kmeans(df: DataFrame, id_col: str, vec_col: str,
         v = hash_sample(v, "id", train_frac, salt=train_salt)
     cents = ivf_centroids_by_id(df, id_col, vec_col, n_cells)
     for _ in range(n_iter):
-        assign = (ivf_assign(v, cents, "id", "v", rank=1, dim=dim)
+        assign = (ivf_assign(v, cents, "id", "v", rank=1)
                   .select("id", "cell"))
         means = (v.join(assign, "id")
                  .select("cell", F.posexplode("v").alias("dim", "x"))
@@ -277,8 +253,7 @@ def ivf_centroids_kmeans(df: DataFrame, id_col: str, vec_col: str,
 def ivf_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, k: int = 5, n_cells: int = 8,
             n_probe: int = 2, kmeans_iters: int = 0,
-            train_frac: float | None = None,
-            dim: int | None = None) -> DataFrame:
+            train_frac: float | None = None) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_cells
     inverted lists (one equi-join key per vector), probe each query's
     n_probe nearest cells, rank exact cosine inside the probed lists.
@@ -296,14 +271,12 @@ def ivf_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
     if kmeans_iters > 0:
         cents = ivf_centroids_kmeans(candidates, id_col, vec_col,
                                      n_cells, n_iter=kmeans_iters,
-                                     train_frac=train_frac, dim=dim)
+                                     train_frac=train_frac)
     else:
         cents = ivf_centroids_by_id(candidates, id_col, vec_col, n_cells)
-    c_assign = ivf_assign(candidates, cents, id_col, vec_col, rank=1,
-                          dim=dim) \
+    c_assign = ivf_assign(candidates, cents, id_col, vec_col, rank=1) \
         .select(F.col("id").alias("neighbor_id"), "cell")
-    q_assign = ivf_assign(queries, cents, id_col, vec_col, rank=n_probe,
-                          dim=dim) \
+    q_assign = ivf_assign(queries, cents, id_col, vec_col, rank=n_probe) \
         .select(F.col("id").alias("query_id"), "cell")
     c = (candidates.select(F.col(id_col).alias("neighbor_id"),
                            F.col(vec_col).cast("array<double>").alias("cv"))
@@ -311,13 +284,10 @@ def ivf_ann(candidates: DataFrame, queries: DataFrame, id_col: str,
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).cast("array<double>").alias("qv"))
          .join(q_assign, "query_id"))
-    if dim is not None:
-        c = c.withColumn("_cn", F.sqrt(_sqnorm(F.col("cv"), dim)))
-        q = q.withColumn("_qn", F.sqrt(_sqnorm(F.col("qv"), dim)))
-        cos = (_dot(F.col("qv"), F.col("cv"), None)
-               / (F.col("_qn") * F.col("_cn")))
-    else:
-        cos = _cos(F.col("qv"), F.col("cv"))
+    c = c.withColumn("_cn", F.sqrt(_sqnorm(F.col("cv"))))
+    q = q.withColumn("_qn", F.sqrt(_sqnorm(F.col("qv"))))
+    cos = (_dot(F.col("qv"), F.col("cv"))
+           / (F.col("_qn") * F.col("_cn")))
     # no distinct needed: each corpus vector lives in exactly ONE cell
     # (rank=1 assignment), so a (query, neighbor) pair matches at most
     # one probed cell

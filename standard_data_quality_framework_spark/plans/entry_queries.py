@@ -858,8 +858,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 def ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5,
-                                  dim=64)
+    return similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5)
 
 
 @register("ann_lsh_bucketed", f"""
@@ -2152,7 +2151,7 @@ def ann_ivf_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_ann(emb, q, "vec_id", "embedding",
-                              k=5, n_cells=16, n_probe=2, dim=64)
+                              k=5, n_cells=16, n_probe=2)
 
 
 def _kmeans_cells_sql(n_cells: int, n_iter: int,
@@ -2239,7 +2238,7 @@ def ann_ivf_kmeans_q(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_ann(emb, q, "vec_id", "embedding",
                               k=5, n_cells=16, n_probe=2, kmeans_iters=2,
-                              train_frac=0.5, dim=64)
+                              train_frac=0.5)
 
 
 @register("multimodal_frame_offsets", """
