@@ -311,7 +311,7 @@ def main() -> None:
     #   post-barrier = quota per-source count agg + quota window
     from standard_data_quality_framework_spark.plans.entry_queries import (
         _curation_frames, _frontier_frames)
-    cur_pre, cur_final = _curation_frames(spark, sf_dir)
+    cur_scored, cur_strat, cur_final = _curation_frames(spark, sf_dir)
 
     def _count_exchanges(plan: str) -> int:
         # a node appears as "(8) Exchange" in the details section and
@@ -329,11 +329,23 @@ def main() -> None:
     # window + the rank⋈offset stitch.
     fr_pre, fr_final = _frontier_frames(spark, sf_dir)
     for name, tag, frame, want, bhj in [
-            ("curation_pipeline_documents", "pre-barrier", cur_pre, 2,
+            # r6: two barriers — segment 1 = verdict+score (the md5
+            # exchange pair), segment 2 = the stratified filter over
+            # the scored checkpoint (narrow: ZERO exchanges — the
+            # whole point of barrier 1), segment 3 = quota count agg
+            # + quota window
+            ("curation_pipeline_documents", "scored-half", cur_scored, 2,
+             None),
+            ("curation_pipeline_documents", "strat-half", cur_strat, 0,
              None),
             ("curation_pipeline_documents", "post-barrier", cur_final, 2,
              None),
-            ("frontier_pipeline_documents", "pre-barrier", fr_pre, 4,
+            # r6: the adaptive scan fan-out ahead of the row-local
+            # urlnorm/probe chain prints once per scan consumer
+            # (static plan; the printed ReusedExchange nodes show the
+            # runtime dedup): 3 fan-out prints + 2 tiny robots-parse
+            # exchanges + url_dedup's agg+join pair = 7
+            ("frontier_pipeline_documents", "pre-barrier", fr_pre, 7,
              True),
             ("frontier_pipeline_documents", "post-barrier", fr_final, 4,
              None)]:

@@ -2979,9 +2979,10 @@ _CUR_BKT_D = _bucket_sql("doc_id", "quota")
 
 
 def _curation_frames(spark, sf_dir):
-    """(pre_barrier, final) — the curation DAG split at its
-    materialization barrier, so the plan audit can assert BOTH halves
-    (the barrier hides the upstream plan behind an RDD scan)."""
+    """(scored_half, strat_half, final) — the curation DAG split at
+    its TWO materialization barriers, so the plan audit can assert
+    every segment (each barrier hides the upstream plan behind an RDD
+    scan)."""
     from ..operators.sampling import (domain_quota_sample,
                                       quality_stratified_sample)
     kept_ids = (pipeline_verdict_q(spark, sf_dir)
@@ -2991,18 +2992,25 @@ def _curation_frames(spark, sf_dir):
     scored = (textstats.quality_scores(d, "doc_id", "text",
                                        keep_cols=("lang", "source"))
               .select("id", "lang", "source", "quality"))
-    strat = (quality_stratified_sample(scored, "id", "quality")
+    # barrier 1 (r6): the stratified sampler's tier/rate/keep filter
+    # substitutes the quality expression into its predicate, and
+    # pushdown then carries that predicate through the semi-join onto
+    # the raw documents SCAN — re-evaluating the interpreted quality
+    # composite over every pre-verdict doc in the serial scan stage
+    # (measured 2× on the whole composite: 6.3 s → 3.2 s at sf1.0
+    # scale). The checkpoint pins the score where it was computed.
+    scored_b = scored.localCheckpoint(eager=False)
+    strat = (quality_stratified_sample(scored_b, "id", "quality")
              .drop("keep_rate"))
-    # barrier: domain_quota_sample consumes its input TWICE (per-source
-    # counts + the prefiltered window); without a materialization point
-    # the whole verdict+score+sample subtree above — including its wide
-    # md5 exchange — executes twice (same divergent-pruning effect as
-    # pipeline.with_verdict). The checkpointed frame is slim (4 columns,
-    # post-sampling) and executor-local.
+    # barrier 2: domain_quota_sample consumes its input TWICE (per-
+    # source counts + the prefiltered window); without a
+    # materialization point the sample subtree above executes twice
+    # (same divergent-pruning effect as pipeline.with_verdict). Both
+    # checkpointed frames are slim (4 columns) and executor-local.
     barrier = strat.localCheckpoint(eager=False)
     out = domain_quota_sample(barrier, "source", "id", quota=10)
-    return strat, out.select(F.col("id").alias("doc_id"),
-                             "lang", "source", "quality", "tier")
+    return scored, strat, out.select(F.col("id").alias("doc_id"),
+                                     "lang", "source", "quality", "tier")
 
 
 @register("curation_pipeline_documents", f"""
@@ -3086,12 +3094,13 @@ def curation_pipeline_q(spark, sf_dir):
     operator: (1) native-rule keep/drop verdict (Gopher/C4-style
     rules + per-corpus exact-dup min-id aggregate+join), (2)
     quality-stratified hash sampling over the C4-ish composite score,
-    (3) per-source quota anti-domination. One declarative DAG with a
-    single materialization barrier before the quota stage (see
-    _curation_frames); wide shuffles: the verdict's md5 exchange pair
-    and the quota stage's bounded (source, hash) window — each
-    executed exactly once."""
-    return _curation_frames(spark, sf_dir)[1]
+    (3) per-source quota anti-domination. One declarative DAG with
+    materialization barriers before the sampler and quota stages (see
+    _curation_frames — the first pins the quality score against a
+    pushed-predicate re-evaluation on the raw scan, r6); wide
+    shuffles: the verdict's md5 exchange pair and the quota stage's
+    bounded (source, hash) window — each executed exactly once."""
+    return _curation_frames(spark, sf_dir)[2]
 
 
 # ---------------------------------------------------------------- r5 web-2
@@ -3535,8 +3544,13 @@ def _frontier_frames(spark, sf_dir):
     """(pre_barrier, final) — the frontier DAG split at its
     materialization barrier so the plan audit can assert BOTH halves
     (the barrier hides the upstream plan behind an RDD scan)."""
+    from ..fanout import fan_out
     from ..functions.urlnorm import host_of, normalize_url
-    docs = _t(spark, sf_dir, "documents")
+    # adaptive fan-out (r6): everything up to url_dedup's first
+    # exchange — URL construction, the normalize_url regexp chain and
+    # both broadcast probes — is row-local and otherwise runs in the
+    # serial single-row-group scan stage
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     mhost = (F.when(F.col("doc_id") % 11 == 0,
                     F.concat(F.lit("cdn.t"),
                              (F.col("doc_id") % 4).cast("string"),
