@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Byte-bound Arrow batches (Spark 4 knob): multi-KB text rows
+        # would otherwise ship ~40 MB batches (10k records) through
+        # the pandas-UDF workers — measured on the 600k-page pipeline
+        # at 32 cores, clamping to 8 MB (~2k text rows/batch) cut the
+        # median ~10% and removed a 2-3× long-tail of memory-spike
+        # runs, while narrow numeric Arrow traffic (embeddings etc.)
+        # stays at the 10k-record bound. Row-size-dependent, not
+        # data-size-dependent — the same clamp is correct at 100 TB.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "8388608")
         .config("spark.driver.memory", os.environ.get("SDQF_DRIVER_MEM", "16g"))
         # the unrolled vector math (similarity._dot) generates Java
         # methods past HotSpot's 8000-bytecode JIT refusal threshold
